@@ -1,0 +1,386 @@
+"""Shard-local Vamana kernel — seeded numpy, no Spark imports.
+
+This module implements the reference's graph-build and beam-search
+algorithms (the two genuinely sequential, non-relational pieces) as pure
+numpy over one shard's vectors. It runs inside ``applyInPandas`` on
+executors; keeping it Spark-free makes it unit-testable in-process.
+
+Algorithm parity map (reference src/lib.rs):
+
+- random R-out bootstrap            lib.rs:989-1004   -> :func:`_random_bootstrap`
+- medoid via 8 sampled pivots       lib.rs:736-756    -> :func:`calculate_medoid`
+- greedy search collecting visited  lib.rs:1140-1198  -> :func:`greedy_search`
+- dedup keep-best-per-id            lib.rs:758-776    -> :func:`_dedup_keep_best`
+- alpha-RNG prune + backfill        lib.rs:1201-1279  -> :func:`robust_prune`
+- micro-batched pass loop           lib.rs:1013-1108  -> :func:`build_vamana`
+- reverse-edge merge w/ slack       lib.rs:784-914    -> inside :func:`build_vamana`
+- final degree-enforcement sweep    lib.rs:1111-1132  -> inside :func:`build_vamana`
+- query beam search                 lib.rs:635-693    -> :func:`beam_search`
+
+Deviations (deliberate, documented in SURVEY.md §4):
+- every random draw is seeded (reference uses ``thread_rng``, which is
+  non-reproducible — a distributed engine needs determinism);
+- adjacency is a dense ``(n, max_degree) int32`` matrix padded with -1
+  (reference pads with u32::MAX, lib.rs:51) plus a degree vector;
+- distances are evaluated as vectorized numpy batches rather than one
+  scalar ``dist.eval`` per neighbor (lib.rs:713-721) — same values.
+
+All ids in this module are *local* shard ordinals 0..n-1; the Spark layer
+maps them to global ids.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from rust_diskann_spark.params import (
+    GRAPH_SLACK_FACTOR,
+    MEDOID_SAMPLE_K,
+    MICRO_BATCH_CHUNK_SIZE,
+    IndexParams,
+)
+
+PAD = -1
+
+
+def _dist_batch(metric: str, q: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Distances (float64) from query ``q`` to rows of ``m`` — the kernel's
+    hot loop; kept local (duplicating functions/distance.py's numpy twin)
+    so the UDF pickles only this module."""
+    if metric == "l2":
+        diff = m - q
+        return np.sqrt(np.einsum("ij,ij->i", diff, diff))
+    if metric == "cosine":
+        mn = np.linalg.norm(m, axis=1)
+        qn = np.linalg.norm(q)
+        # guard zero vectors: define distance 1.0 (orthogonal-like)
+        denom = mn * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom > 0, (m @ q) / denom, 0.0)
+        return 1.0 - sim
+    if metric == "dot":
+        return 1.0 - m @ q
+    if metric == "hamming":
+        x = np.bitwise_xor(m.astype(np.uint64), q.astype(np.uint64))
+        v = x.view(np.uint8)
+        lut = _POPCOUNT_LUT
+        return lut[v].reshape(x.shape[0], -1).sum(axis=1).astype(np.float64)
+    raise ValueError(f"unsupported metric {metric!r}")
+
+
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def calculate_medoid(vectors: np.ndarray, metric: str, seed: int) -> int:
+    """Approximate medoid (reference lib.rs:736-756): sample
+    ``MEDOID_SAMPLE_K`` pivots, score every vector by its summed distance to
+    the pivots, return the argmin (ties -> smallest id, lib.rs:150-163)."""
+    n = vectors.shape[0]
+    rng = np.random.default_rng(seed)
+    k = min(MEDOID_SAMPLE_K, n)
+    pivot_ids = rng.choice(n, size=k, replace=False)
+    scores = np.zeros(n, dtype=np.float64)
+    for p in pivot_ids:
+        scores += _dist_batch(metric, vectors[p], vectors)
+    return int(np.argmin(scores))  # argmin returns first (lowest id) on ties
+
+
+@dataclass
+class Graph:
+    """Bounded-degree adjacency: ``adj[i, :deg[i]]`` are out-neighbors."""
+
+    adj: np.ndarray  # (n, slack_limit) int32, PAD-filled
+    deg: np.ndarray  # (n,) int32
+
+    def neighbors(self, u: int) -> np.ndarray:
+        return self.adj[u, : self.deg[u]]
+
+    def to_lists(self) -> list[list[int]]:
+        return [self.adj[i, : self.deg[i]].tolist() for i in range(self.adj.shape[0])]
+
+
+def _random_bootstrap(n: int, max_degree: int, slack: int, rng: np.random.Generator) -> Graph:
+    """Init each node with up to ``max_degree`` distinct random out-neighbors
+    excluding self (reference lib.rs:989-1004)."""
+    adj = np.full((n, slack), PAD, dtype=np.int32)
+    deg = np.zeros(n, dtype=np.int32)
+    m = min(max_degree, n - 1)
+    if m <= 0:
+        return Graph(adj, deg)
+    for u in range(n):
+        # sample from 0..n-2 and shift to skip u — uniform without self
+        picks = rng.choice(n - 1, size=m, replace=False)
+        picks = np.where(picks >= u, picks + 1, picks)
+        adj[u, :m] = picks
+        deg[u] = m
+    return Graph(adj, deg)
+
+
+def greedy_search(
+    vectors: np.ndarray,
+    graph: Graph,
+    metric: str,
+    query: np.ndarray,
+    seeds: list[int],
+    beam_width: int,
+    collect_visited: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Best-first beam search (reference lib.rs:635-693 query path;
+    lib.rs:1140-1198 build path when ``collect_visited``).
+
+    Maintains a min-heap ``frontier`` and a bounded working set ``w`` of
+    size ``beam_width``. Terminates when the best frontier candidate is no
+    better than the worst of a full working set (lib.rs:657-664).
+
+    Returns ``(ids, dists)``:
+    - ``collect_visited=False``: the working set sorted by (dist, id) —
+      the query-time result before k-truncation (lib.rs:689-692);
+    - ``collect_visited=True``: every visited (id, dist) pair, the
+      candidate pool for robust pruning (lib.rs:1186-1196).
+    """
+    n = vectors.shape[0]
+    visited = np.zeros(n, dtype=bool)
+    frontier: list[tuple[float, int]] = []
+    # working set as max-heap via negated dist: (-dist, -id) so the worst
+    # (largest dist, then largest id — Candidate cmp, lib.rs:150-163) pops first
+    w: list[tuple[float, int]] = []
+    visited_out: list[tuple[float, int]] = []
+
+    seed_ids = np.array(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+    seed_dists = _dist_batch(metric, query, vectors[seed_ids])
+    for sid, sd in zip(seed_ids, seed_dists):
+        visited[sid] = True
+        heapq.heappush(frontier, (float(sd), int(sid)))
+        _admit(w, float(sd), int(sid), beam_width)
+        if collect_visited:
+            visited_out.append((float(sd), int(sid)))
+
+    while frontier:
+        best_d, best_id = heapq.heappop(frontier)
+        if len(w) >= beam_width and (best_d, best_id) >= (-w[0][0], -w[0][1]):
+            break  # lib.rs:657-664: best frontier no better than worst of full w
+        nbrs = graph.neighbors(best_id)
+        if len(nbrs) == 0:
+            continue
+        fresh = nbrs[~visited[nbrs]]
+        if len(fresh) == 0:
+            continue
+        visited[fresh] = True
+        dists = _dist_batch(metric, query, vectors[fresh])
+        for nid, nd in zip(fresh, dists):
+            nd = float(nd)
+            nid = int(nid)
+            if collect_visited:
+                visited_out.append((nd, nid))
+            if len(w) < beam_width or nd < -w[0][0]:
+                heapq.heappush(frontier, (nd, nid))
+                _admit(w, nd, nid, beam_width)
+
+    if collect_visited:
+        arr = np.array(visited_out, dtype=np.float64)
+        ids = arr[:, 1].astype(np.int64)
+        ds = arr[:, 0]
+        return ids, ds
+    # w items are (-dist, -id); flip back and sort (dist asc, id asc)
+    pairs = sorted((-nd, -ni) for nd, ni in w)
+    ids = np.array([i for _, i in pairs], dtype=np.int64)
+    ds = np.array([d for d, _ in pairs], dtype=np.float64)
+    return ids, ds
+
+
+def _admit(w: list[tuple[float, int]], d: float, i: int, beam_width: int) -> None:
+    """Admit (d, i) into the bounded working set (max-heap by (dist, id))."""
+    item = (-d, -i)
+    if len(w) < beam_width:
+        heapq.heappush(w, item)
+    elif item > w[0]:  # better (smaller dist, then smaller id) than worst
+        heapq.heapreplace(w, item)
+
+
+def _dedup_keep_best(ids: np.ndarray, dists: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Keep min-dist per id (reference lib.rs:758-776)."""
+    order = np.lexsort((dists, ids))  # by id, then dist
+    ids, dists = ids[order], dists[order]
+    first = np.ones(len(ids), dtype=bool)
+    first[1:] = ids[1:] != ids[:-1]
+    return ids[first], dists[first]
+
+
+def robust_prune(
+    u: int,
+    cand_ids: np.ndarray,
+    cand_dists: np.ndarray,
+    vectors: np.ndarray,
+    metric: str,
+    max_degree: int,
+    alpha: float,
+) -> np.ndarray:
+    """Alpha-RNG pruning (reference lib.rs:1201-1279).
+
+    Phase 1: scan candidates by (dist, id) asc; keep candidate c unless an
+    already-selected s occludes it: ``alpha * d(c, s) <= d(c, u)``
+    (lib.rs:1242-1263). Phase 2: backfill nearest rejected until
+    ``max_degree`` (lib.rs:1266-1276).
+    """
+    ids, dists = _dedup_keep_best(cand_ids, cand_dists)
+    keep = ids != u  # drop self (lib.rs:1224-1226)
+    ids, dists = ids[keep], dists[keep]
+    if len(ids) == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((ids, dists))
+    ids, dists = ids[order], dists[order]
+
+    selected: list[int] = []
+    rejected: list[int] = []
+    sel_vecs: list[np.ndarray] = []
+    for c, d_cu in zip(ids, dists):
+        if len(selected) >= max_degree:
+            rejected.append(int(c))
+            continue
+        if selected:
+            d_cs = _dist_batch(metric, vectors[int(c)], np.array(sel_vecs))
+            if np.any(alpha * d_cs <= d_cu):
+                rejected.append(int(c))
+                continue
+        selected.append(int(c))
+        sel_vecs.append(vectors[int(c)])
+
+    # Phase 2 backfill: rejected are already in (dist, id) order
+    for c in rejected:
+        if len(selected) >= max_degree:
+            break
+        selected.append(c)
+    return np.array(selected, dtype=np.int64)
+
+
+def build_vamana(vectors: np.ndarray, params: IndexParams, seed: int) -> tuple[Graph, int]:
+    """Full shard-local Vamana build (reference lib.rs:973-1133).
+
+    Returns ``(graph, medoid)``. Deterministic given ``seed``.
+    """
+    n = vectors.shape[0]
+    rng = np.random.default_rng(seed)
+    slack = max(params.slack_limit, min(params.max_degree, max(n - 1, 1)))
+    medoid = calculate_medoid(vectors, params.metric, seed)
+    graph = _random_bootstrap(n, params.max_degree, slack, rng)
+    if n <= 1:
+        return graph, medoid
+
+    for pass_idx in range(params.passes):
+        # alpha schedule (lib.rs:1014-1020): first of multiple passes uses 1.0
+        alpha = 1.0 if (params.passes > 1 and pass_idx == 0) else params.alpha
+        order = rng.permutation(n)
+        for start in range(0, n, MICRO_BATCH_CHUNK_SIZE):
+            chunk = order[start : start + MICRO_BATCH_CHUNK_SIZE]
+            # --- parallel-in-reference phase: per-node candidate generation
+            # over a read snapshot of the graph (lib.rs:1028-1071)
+            new_lists: list[tuple[int, np.ndarray]] = []
+            for u in chunk:
+                seeds = [medoid]
+                for _ in range(params.extra_seeds):
+                    seeds.append(int(rng.integers(0, n)))
+                v_ids, v_dists = greedy_search(
+                    vectors, graph, params.metric, vectors[u], seeds,
+                    params.build_beam_width, collect_visited=True,
+                )
+                # candidate pool = visited + current neighbors (lib.rs:1034-1071)
+                cur = graph.neighbors(u).astype(np.int64)
+                if len(cur):
+                    cur_d = _dist_batch(params.metric, vectors[u], vectors[cur])
+                    v_ids = np.concatenate([v_ids, cur])
+                    v_dists = np.concatenate([v_dists, cur_d])
+                pruned = robust_prune(
+                    int(u), v_ids, v_dists, vectors, params.metric,
+                    params.max_degree, alpha,
+                )
+                new_lists.append((int(u), pruned))
+            # --- sequential merge: commit + reverse edges + slack re-prune
+            # (lib.rs:784-914)
+            _merge_chunk(graph, new_lists, vectors, params, alpha)
+
+    # final degree-enforcement sweep (lib.rs:1111-1132)
+    for u in range(n):
+        if graph.deg[u] > params.max_degree:
+            nbrs = graph.neighbors(u).astype(np.int64)
+            d = _dist_batch(params.metric, vectors[u], vectors[nbrs])
+            pruned = robust_prune(
+                u, nbrs, d, vectors, params.metric, params.max_degree, params.alpha
+            )
+            _set_neighbors(graph, u, pruned)
+    return graph, medoid
+
+
+def _set_neighbors(graph: Graph, u: int, nbrs: np.ndarray) -> None:
+    k = len(nbrs)
+    graph.adj[u, :k] = nbrs
+    graph.adj[u, k:] = PAD
+    graph.deg[u] = k
+
+
+def _merge_chunk(
+    graph: Graph,
+    new_lists: list[tuple[int, np.ndarray]],
+    vectors: np.ndarray,
+    params: IndexParams,
+    alpha: float,
+) -> None:
+    """Commit chunk out-lists, scatter reverse edges, re-prune any node whose
+    list exceeds the slack limit (reference lib.rs:784-914)."""
+    slack_limit = params.slack_limit
+    cap = graph.adj.shape[1]
+    touched: set[int] = set()
+    for u, nbrs in new_lists:
+        _set_neighbors(graph, u, nbrs)
+        for v in nbrs:
+            v = int(v)
+            if v == u:
+                continue
+            cur = graph.neighbors(v)
+            if u in cur:
+                continue
+            if graph.deg[v] < cap:
+                graph.adj[v, graph.deg[v]] = u
+                graph.deg[v] += 1
+            if graph.deg[v] >= min(slack_limit, cap):
+                touched.add(v)
+    for v in touched:
+        nbrs = graph.neighbors(v).astype(np.int64)
+        d = _dist_batch(params.metric, vectors[v], vectors[nbrs])
+        pruned = robust_prune(
+            v, nbrs, d, vectors, params.metric, params.max_degree, alpha
+        )
+        _set_neighbors(graph, v, pruned)
+
+
+def beam_search(
+    vectors: np.ndarray,
+    graph: Graph,
+    metric: str,
+    medoid: int,
+    query: np.ndarray,
+    k: int,
+    beam_width: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Query-time top-k (reference lib.rs:635-693): beam search from the
+    medoid, then sort by (dist, id) and truncate to k."""
+    beam = max(beam_width, k)
+    ids, dists = greedy_search(
+        vectors, graph, metric, query, [medoid], beam, collect_visited=False
+    )
+    return ids[:k], dists[:k]
+
+
+def graph_from_lists(lists: list[list[int]], max_degree: int) -> Graph:
+    """Rebuild a Graph from per-node neighbor lists (index open path)."""
+    n = len(lists)
+    cap = max(max_degree, max((len(l) for l in lists), default=1), 1)
+    adj = np.full((n, cap), PAD, dtype=np.int32)
+    deg = np.zeros(n, dtype=np.int32)
+    for i, l in enumerate(lists):
+        adj[i, : len(l)] = l
+        deg[i] = len(l)
+    return Graph(adj, deg)

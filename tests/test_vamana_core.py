@@ -1,0 +1,120 @@
+"""Kernel unit tests — ports of the reference's 5 inline tests
+(src/lib.rs:1281-1463; fixtures F1-F5 in FIXTURES.md). Pure numpy, no Spark."""
+
+import numpy as np
+import pytest
+
+from rust_diskann_spark.core import vamana
+from rust_diskann_spark.params import IndexParams
+
+
+def test_small_index_l2():
+    """F1 / reference test_small_index_l2 (lib.rs:1296-1319)."""
+    vecs = np.array([[0, 0], [1, 0], [0, 1], [1, 1], [0.5, 0.5]], dtype=np.float32)
+    p = IndexParams(max_degree=4, build_beam_width=16)
+    g, med = vamana.build_vamana(vecs, p, seed=42)
+    ids, dists = vamana.beam_search(
+        vecs, g, "l2", med, np.array([0.1, 0.1], dtype=np.float32), 3, 16
+    )
+    assert len(ids) == 3
+    assert dists[0] < 1.0
+    # fixture is tiny => graph near-complete => ANN degenerates to exact
+    assert ids.tolist() == [0, 4, 1]
+
+
+def test_cosine():
+    """F2 / reference test_cosine (lib.rs:1321-1349)."""
+    vecs = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1]], dtype=np.float32
+    )
+    p = IndexParams(max_degree=4, build_beam_width=16, metric="cosine")
+    g, med = vamana.build_vamana(vecs, p, seed=42)
+    q = np.array([2.0, 0.0, 0.0], dtype=np.float32)
+    ids, dists = vamana.beam_search(vecs, g, "cosine", med, q, 2, 16)
+    assert len(ids) == 2
+    assert ids[0] == 0  # cosine sim 1.0 with the query
+    assert 1.0 - dists[0] > 0.7
+
+
+def test_grid_connectivity():
+    """F4 / reference test_grid_connectivity (lib.rs:1379-1419)."""
+    pts = np.array([[i, j] for i in range(5) for j in range(5)], dtype=np.float32)
+    p = IndexParams(max_degree=4, build_beam_width=64, alpha=1.5)
+    g, med = vamana.build_vamana(pts, p, seed=42)
+    assert (g.deg <= p.max_degree).all()
+    for qid in range(25):
+        ids, dists = vamana.beam_search(pts, g, "l2", med, pts[qid], 10, 32)
+        near = np.linalg.norm(pts[ids[0]] - pts[qid])
+        assert qid in ids.tolist() or near < 2.0
+        assert all(
+            np.linalg.norm(pts[i] - pts[qid]) < 5.0 for i in ids[:5]
+        )
+
+
+def test_medium_random_ordering_invariant():
+    """F5 / reference test_medium_random (lib.rs:1421-1463): results come
+    back sorted by true distance ascending."""
+    rng = np.random.default_rng(42)
+    mat = rng.random((200, 32), dtype=np.float32)
+    p = IndexParams(max_degree=32, build_beam_width=128)
+    g, med = vamana.build_vamana(mat, p, seed=42)
+    q = rng.random(32, dtype=np.float32)
+    ids, dists = vamana.beam_search(mat, g, "l2", med, q, 10, 64)
+    assert len(ids) == 10
+    true = np.linalg.norm(mat[ids].astype(np.float64) - q, axis=1)
+    assert np.all(np.diff(true) >= -1e-9)
+
+
+def test_build_deterministic():
+    """Engine guarantee beyond the reference (which uses thread_rng): same
+    seed, same graph."""
+    rng = np.random.default_rng(7)
+    mat = rng.random((100, 8), dtype=np.float32)
+    p = IndexParams(max_degree=16, build_beam_width=32)
+    g1, m1 = vamana.build_vamana(mat, p, seed=11)
+    g2, m2 = vamana.build_vamana(mat, p, seed=11)
+    assert m1 == m2
+    assert np.array_equal(g1.adj, g2.adj)
+    assert np.array_equal(g1.deg, g2.deg)
+
+
+def test_degree_bound():
+    """Final sweep invariant (lib.rs:1111-1132): no node exceeds max_degree."""
+    rng = np.random.default_rng(3)
+    mat = rng.random((300, 8), dtype=np.float32)
+    p = IndexParams(max_degree=8, build_beam_width=32, passes=2)
+    g, _ = vamana.build_vamana(mat, p, seed=5)
+    assert int(g.deg.max()) <= p.max_degree
+
+
+def test_hamming_kernel():
+    """F7: Hamming metric over u64 bit patterns (lib.rs:22-29)."""
+    rng = np.random.default_rng(42)
+    mat = rng.integers(0, 2**63 - 1, size=(50, 4), dtype=np.int64)
+    p = IndexParams(max_degree=8, build_beam_width=32, metric="hamming")
+    g, med = vamana.build_vamana(mat, p, seed=42)
+    q = mat[7]
+    ids, dists = vamana.beam_search(mat, g, "hamming", med, q, 5, 32)
+    assert ids[0] == 7 and dists[0] == 0.0
+
+
+def test_recall_gate():
+    """F6 quality gate: recall@10 >= 0.95 on seeded Gaussian mixture
+    (reference reaches 0.9997 at beam 512 on SIFT1M, README.md:228)."""
+    rng = np.random.default_rng(42)
+    mat = np.vstack(
+        [
+            rng.standard_normal((700, 16)) + 4.0,
+            rng.standard_normal((700, 16)) - 4.0,
+            rng.uniform(-8, 8, (600, 16)),
+        ]
+    ).astype(np.float32)
+    p = IndexParams(max_degree=32, build_beam_width=64)
+    g, med = vamana.build_vamana(mat, p, seed=42)
+    qs = rng.standard_normal((50, 16)).astype(np.float32) * 4.0
+    rec = 0.0
+    for q in qs:
+        ids, _ = vamana.beam_search(mat, g, "l2", med, q, 10, 128)
+        exact = np.argsort(np.linalg.norm(mat.astype(np.float64) - q, axis=1))[:10]
+        rec += len(set(ids.tolist()) & set(exact.tolist())) / 10
+    assert rec / 50 >= 0.95
