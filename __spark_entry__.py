@@ -1,38 +1,756 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (DiskANN index build + ANN
+search) on sf0.001. ``queries()`` exposes every implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for each deterministic one (ANN queries are
+graph-dependent and therefore rows-only).
+
+Conventions shared by every (query, oracle) pair:
+- vector queries use every 100th vec_id (FIXTURES.md F8);
+- distances/scores are computed in double precision and rounded to 6
+  decimals on both sides before comparison;
+- ranks break ties by id ascending (reference lib.rs:150-163);
+- all computed columns are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rust_diskann_spark import IndexParams, build_index
+from rust_diskann_spark.functions import text as TX
+from rust_diskann_spark.functions.distance import distance_expr, l2_normalize_expr
+from rust_diskann_spark.operators import dedup as DD
+from rust_diskann_spark.operators import eval as EV
+from rust_diskann_spark.operators.exact import exact_knn
+from rust_diskann_spark.operators.medoid import medoid as medoid_op
+
+K = 10
+RND = 6
+NEAR_DUP_TAU = 0.4
+JACCARD_TAU = 0.2
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+# ---------------------------------------------------------------------------
+# shared loaders
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+
+def _qset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
+
+
+# SQL fragments for the oracle side
+_Q_SQL = "select vec_id as query_id, embedding as qvec from embeddings where vec_id % 100 = 0"
+_DIST_SQL = {
+    "l2": "list_distance({a}::double[], {b}::double[])",
+    "cosine": "(1.0 - list_cosine_similarity({a}::double[], {b}::double[]))",
+    "dot": "(1.0 - list_inner_product({a}::double[], {b}::double[]))",
+}
+
+
+# ---------------------------------------------------------------------------
+# vector queries: exact kNN under each metric (D1-D7)
+# ---------------------------------------------------------------------------
+
+
+def _knn_query(metric: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = exact_knn(_qset(spark, sf_dir), _corpus(spark, sf_dir), K, metric)
+        return res.select(
+            "query_id", "rank", "id",
+            (F.round("dist", RND) + F.lit(0.0)).alias("dist"),  # +0.0 kills -0.0
+        )
+
+    return run
+
+
+def _knn_oracle(metric: str) -> str:
+    d = _DIST_SQL[metric].format(a="e.embedding", b="q.qvec")
+    return f"""
+        with q as ({_Q_SQL}),
+        scored as (
+          select q.query_id, e.vec_id as id, {d} as dist,
+                 row_number() over (partition by q.query_id order by {d}, e.vec_id) as rank
+          from embeddings e cross join q
+        )
+        select query_id, rank, id, (round(dist, {RND}) + 0.0) as dist
+        from scored where rank <= {K}
+    """
+
+
+# hamming: pack sign bits of the 64-d embedding into two 32-bit words, then
+# exact hamming kNN over them (covers metric D4 / u64 vectors, lib.rs:22-29)
+
+
+def _sign_words_expr(vec):
+    def word(lo: int):
+        idx = F.sequence(F.lit(lo + 1), F.lit(lo + 32))
+        return F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at(vec, j) > 0,
+                F.pow(F.lit(2.0), (j - 1 - lo).cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return F.array(word(0), word(32))
+
+
+def _sql_sign_words(vec: str) -> str:
+    def word(lo: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0::bigint, list_transform(generate_series(1, 32), "
+            f"j -> case when ({vec})[j + {lo}] > 0 then pow(2, j - 1)::bigint else 0::bigint end)), "
+            f"(a, b) -> a + b)"
+        )
+
+    return f"[{word(0)}, {word(32)}]"
+
+
+def _knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        F.col("vec_id").alias("id"), _sign_words_expr(F.col("embedding")).alias("vec")
+    )
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _sign_words_expr(F.col("embedding")).alias("qvec"),
+    )
+    res = exact_knn(qs, sigs, K, "hamming")
+    return res.select("query_id", "rank", "id", F.col("dist").cast("long").alias("dist"))
+
+
+def _knn_hamming_oracle() -> str:
+    sw = _sql_sign_words("embedding")
+    d = (
+        "(bit_count(xor(qs.w[1], es.w[1])) + bit_count(xor(qs.w[2], es.w[2])))::bigint"
+    )
+    return f"""
+        with es as (select vec_id as id, {sw} as w from embeddings),
+        qs as (select vec_id as query_id, {sw} as w from embeddings where vec_id % 100 = 0),
+        scored as (
+          select qs.query_id, es.id, {d} as dist,
+                 row_number() over (partition by qs.query_id order by {d}, es.id) as rank
+          from es cross join qs
+        )
+        select query_id, rank, id, dist from scored where rank <= {K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# medoid (B2/D9/D10), normalization (E2/D17), point lookup (A9/D15)
+# ---------------------------------------------------------------------------
+
+
+def _medoid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = medoid_op(_corpus(spark, sf_dir), metric="l2")
+    return res.select("medoid_id", F.round("score", 4).alias("score"))
+
+
+def _medoid_oracle() -> str:
+    d = _DIST_SQL["l2"].format(a="e.embedding", b="p.embedding")
+    return f"""
+        with p as (select vec_id, embedding from embeddings order by vec_id limit 8),
+        scored as (
+          select e.vec_id as id, sum({d}) as score
+          from embeddings e cross join p
+          group by e.vec_id
+        )
+        select id as medoid_id, round(score, 4) as score
+        from scored order by score, id limit 1
+    """
+
+
+def _normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    normed = l2_normalize_expr(F.col("embedding"))
+    return emb.select(
+        F.col("vec_id"),
+        F.transform(normed, lambda x: F.round(x, RND) + F.lit(0.0)).alias("unit_vec"),
+    )
+
+
+def _normalize_oracle() -> str:
+    return f"""
+        select vec_id,
+               list_transform(embedding::double[],
+                 x -> round(x / sqrt(list_reduce(list_prepend(0.0::double,
+                       list_transform(embedding::double[], y -> y * y)), (a, b) -> a + b)), {RND}) + 0.0
+               ) as unit_vec
+        from embeddings
+    """
+
+
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _corpus(spark, sf_dir).filter(F.col("id") % 100 == 0)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("vec", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return emb.select("id", F.size("vec").alias("dim"), F.round(norm, RND).alias("norm"))
+
+
+def _point_lookup_oracle() -> str:
+    return f"""
+        select vec_id as id, len(embedding) as dim,
+               round(sqrt(list_reduce(list_prepend(0.0::double,
+                     list_transform(embedding::double[], x -> x * x)), (a, b) -> a + b)), {RND}) as norm
+        from embeddings where vec_id % 100 = 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# recall metrics (E5-E7 + E9): cosine-ranked ids evaluated in l2 space
+# against the exact-l2 ground truth
+# ---------------------------------------------------------------------------
+
+
+def _recall_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs, corpus = _qset(spark, sf_dir), _corpus(spark, sf_dir)
+    gt = EV.ground_truth_from_exact(exact_knn(qs, corpus, K, "l2"), K)
+    approx_ids = exact_knn(qs, corpus, K, "cosine").select("query_id", "id")
+    rescored = (
+        approx_ids.join(corpus, "id")
+        .join(qs, "query_id")
+        .select(
+            "query_id",
+            "id",
+            distance_expr("l2", F.col("qvec"), F.col("vec")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "id")
+    results = rescored.withColumn("rank", F.row_number().over(w))
+    tr = EV.threshold_recall_at_k(results, gt, K)
+    ir = EV.id_recall_at_k(results, gt, K)
+    lr = EV.last_distance_ratio(results, gt, K)
+    return (
+        tr.crossJoin(ir)
+        .crossJoin(lr)
+        .select(
+            F.round("recall", RND).alias("recall"),
+            F.round("id_recall", RND).alias("id_recall"),
+            F.round("last_ratio", RND).alias("last_ratio"),
+        )
+    )
+
+
+def _recall_metrics_oracle() -> str:
+    l2 = _DIST_SQL["l2"].format(a="e.embedding", b="q.qvec")
+    cos = _DIST_SQL["cosine"].format(a="e.embedding", b="q.qvec")
+    return f"""
+        with q as ({_Q_SQL}),
+        l2r as (
+          select q.query_id, e.vec_id as id, {l2} as dist,
+                 row_number() over (partition by q.query_id order by {l2}, e.vec_id) as rank
+          from embeddings e cross join q
+        ),
+        gt as (select query_id, max(dist) as gt_kth from l2r where rank <= {K} group by query_id),
+        gtids as (select query_id, list(id order by rank) as gt_ids from l2r where rank <= {K} group by query_id),
+        cosr as (
+          select q.query_id, e.vec_id as id, {cos} as cdist,
+                 row_number() over (partition by q.query_id order by {cos}, e.vec_id) as rank
+          from embeddings e cross join q
+        ),
+        approx as (
+          select c.query_id, c.id, {l2} as dist,
+                 row_number() over (partition by c.query_id order by {l2}, c.id) as rank
+          from (select query_id, id from cosr where rank <= {K}) c
+          join embeddings e on e.vec_id = c.id
+          join q on q.query_id = c.query_id
+        ),
+        tr as (
+          select sum(case when a.dist <= g.gt_kth + 1e-6 then 1 else 0 end)::double
+                 / (count(distinct a.query_id) * {K}) as recall
+          from approx a join gt g using (query_id)
+        ),
+        ir as (
+          select avg(len(list_intersect(r.ids, gi.gt_ids))::double / {K}) as id_recall
+          from (select query_id, list(id) as ids from approx group by query_id) r
+          join gtids gi using (query_id)
+        ),
+        lr as (
+          select avg(case when g.gt_kth > 0 then a.dist / g.gt_kth else 1.0 end) as last_ratio
+          from approx a join gt g using (query_id) where a.rank = {K}
+        )
+        select round(recall, {RND}) as recall, round(id_recall, {RND}) as id_recall,
+               round(last_ratio, {RND}) as last_ratio
+        from tr cross join ir cross join lr
+    """
+
+
+# ---------------------------------------------------------------------------
+# ANN (graph) queries — deterministic but not SQL-expressible: rows-only
+# ---------------------------------------------------------------------------
+
+_ANN_PARAMS = dict(max_degree=32, build_beam_width=64, seed=42, num_shards=2)
+
+
+def _ann_query(metric: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"rds_idx_{metric}_{abs(hash(sf_dir)) % 10**8}",
+        )
+        idx = build_index(
+            vectors, path, params=IndexParams(metric=metric, **_ANN_PARAMS)
+        )
+        res = idx.search_with_dists(_qset(spark, sf_dir), k=K, beam_width=128)
+        return res.select("query_id", "rank", "id", F.round("dist", RND).alias("dist"))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# dedup queries (documents)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture corpus has no exact dups; construct a deterministic dup
+    set: docs with doc_id % 7 == 0 are duplicated at doc_id + 1_000_000."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(dups)
+
+
+_DOCS_WITH_DUPS_SQL = """
+    select doc_id, text from documents
+    union all
+    select doc_id + 1000000 as doc_id, text from documents where doc_id % 7 = 0
+"""
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_duplicates(_docs_with_dups(spark, sf_dir))
+
+
+def _dedup_exact_oracle() -> str:
+    return f"""
+        with d as ({_DOCS_WITH_DUPS_SQL}),
+        hashed as (select doc_id, md5(text) as content_hash from d),
+        groups as (select content_hash, min(doc_id) as canonical_id from hashed group by content_hash)
+        select h.doc_id, h.content_hash, g.canonical_id,
+               h.doc_id != g.canonical_id as is_duplicate
+        from hashed h join groups g using (content_hash)
+    """
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _minhash_sigs_oracle() -> str:
+    toks = TX.sql_tokens("text")
+    sig = TX.sql_minhash_signature(TX.sql_word_ngrams(toks, 3))
+    return f"""
+        select doc_id, {sig} as signature from documents
+        where len({toks}) >= 3
+    """
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_candidate_pairs(_docs_with_dups(spark, sf_dir))
+
+
+def _minhash_pairs_oracle() -> str:
+    toks = TX.sql_tokens("text")
+    sig = TX.sql_minhash_signature(TX.sql_word_ngrams(toks, 3))
+    keys = TX.sql_lsh_band_keys("signature")
+    return f"""
+        with d as ({_DOCS_WITH_DUPS_SQL}),
+        sigs as (select doc_id, {sig} as signature from d where len({toks}) >= 3),
+        bands as (
+          select doc_id, u.band - 1 as band, keys[u.band] as band_key
+          from (select doc_id, {keys} as keys from sigs),
+               lateral unnest(generate_series(1, {TX.LSH_BANDS})) as u(band)
+        )
+        select distinct a.doc_id as doc_a, b.doc_id as doc_b
+        from bands a join bands b
+          on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id
+    """
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = DD.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), JACCARD_TAU)
+    return res.select("doc_a", "doc_b", F.round("jaccard", RND).alias("jaccard"))
+
+
+def _jaccard_pairs_oracle() -> str:
+    toks = TX.sql_tokens("text")
+    sh = f"list_distinct({TX.sql_word_ngrams(toks, 3)})"
+    return f"""
+        with d as ({_DOCS_WITH_DUPS_SQL}),
+        sets as (select doc_id, {sh} as shingles from d where len({sh}) > 0),
+        ex as (select doc_id, unnest(shingles) as shingle from sets),
+        common as (
+          select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+          from ex a join ex b on a.shingle = b.shingle and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select c.doc_a, c.doc_b,
+               round(c.n_common::double / (len(sa.shingles) + len(sb.shingles) - c.n_common), {RND}) as jaccard
+        from common c
+        join sets sa on sa.doc_id = c.doc_a
+        join sets sb on sb.doc_id = c.doc_b
+        where c.n_common::double / (len(sa.shingles) + len(sb.shingles) - c.n_common) >= {JACCARD_TAU}
+    """
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_signatures(_docs(spark, sf_dir))
+
+
+def _simhash_sigs_oracle() -> str:
+    return f"select doc_id, {TX.sql_simhash(TX.sql_tokens('text'))} as simhash from documents"
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_pairs_oracle() -> str:
+    sh = TX.sql_simhash(TX.sql_tokens("text"))
+    return f"""
+        with sigs as (select doc_id, {sh} as simhash from documents)
+        select a.doc_id as doc_a, b.doc_id as doc_b,
+               bit_count(xor(a.simhash, b.simhash))::bigint as hamming
+        from sigs a join sigs b on a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = DD.embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), NEAR_DUP_TAU)
+    return res.select("id_a", "id_b", F.round("cosine_sim", RND).alias("cosine_sim"))
+
+
+def _emb_near_dups_oracle() -> str:
+    sim = "list_cosine_similarity(a.embedding::double[], b.embedding::double[])"
+    return f"""
+        select a.vec_id as id_a, b.vec_id as id_b, round({sim}, {RND}) as cosine_sim
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where {sim} >= {NEAR_DUP_TAU}
+    """
+
+
+def _emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed) variant — rows-only check; its recall vs
+    the exact query is the quality signal."""
+    res = DD.embedding_near_duplicates_lsh(_t(spark, sf_dir, "embeddings"), NEAR_DUP_TAU)
+    return res.select("id_a", "id_b", F.round("cosine_sim", RND).alias("cosine_sim"))
+
+
+# ---------------------------------------------------------------------------
+# text-analysis queries (documents)
+# ---------------------------------------------------------------------------
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = TX.quality_features_exprs(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], RND).alias("mean_token_len"),
+        F.round(feats["punct_ratio"], RND).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], RND).alias("stopword_ratio"),
+        F.round(feats["quality_score"], RND).alias("quality_score"),
+    )
+
+
+def _text_quality_oracle() -> str:
+    f = TX.sql_quality_features("text")
+    return f"""
+        select doc_id, {f['n_chars']} as n_chars, {f['n_tokens']} as n_tokens,
+               round({f['mean_token_len']}, {RND}) as mean_token_len,
+               round({f['punct_ratio']}, {RND}) as punct_ratio,
+               round({f['stopword_ratio']}, {RND}) as stopword_ratio,
+               round({f['quality_score']}, {RND}) as quality_score
+        from documents
+    """
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.lang_id_expr(F.col("text")).alias("pred_lang")
+    )
+
+
+def _lang_id_oracle() -> str:
+    return f"select doc_id, {TX.sql_lang_id('text')} as pred_lang from documents"
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = TX.tokens_expr(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        TX.piece_count_expr(F.col("text")).cast("long").alias("piece_tokens"),
+    )
+
+
+def _token_stats_oracle() -> str:
+    return f"""
+        select doc_id, len({TX.sql_tokens('text')})::bigint as ws_tokens,
+               {TX.sql_piece_count('text')}::bigint as piece_tokens
+        from documents
+    """
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.fingerprint_expr(TX.tokens_expr(F.col("text"))).alias("fingerprint"),
+    )
+
+
+def _fingerprint_oracle() -> str:
+    return (
+        f"select doc_id, {TX.sql_fingerprint(TX.sql_tokens('text'))} as fingerprint "
+        "from documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization + windowed aggregation (batch twins of the
+# streaming operators in rust_diskann_spark.streaming)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the fixture's ts is TIMESTAMP(NANOS) parquet, which Spark only reads
+    # as a long; normalize to integer microseconds for full DuckDB parity
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .select("event_id", "user_id", "ts_us", "session_seq")
+    )
+
+
+def _sessionize_oracle() -> str:
+    return f"""
+        with g as (
+          select event_id, user_id, epoch_us(ts) as ts_us,
+                 epoch_us(ts) - lag(epoch_us(ts)) over
+                   (partition by user_id order by epoch_us(ts), event_id) as gap
+          from events
+        )
+        select event_id, user_id, ts_us,
+               sum(case when gap is null or gap > {SESSION_GAP_US} then 1 else 0 end)
+                 over (partition by user_id order by ts_us, event_id
+                       rows between unbounded preceding and current row)::bigint as session_seq
+        from g
+    """
+
+
+def _windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hour_us = F.expr("(ts_us div 3600000000) * 3600000000")
+    return ev.groupBy(hour_us.alias("hour_us"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _windowed_agg_oracle() -> str:
+    return """
+        select (epoch_us(ts) // 3600000000) * 3600000000 as hour_us, event_type,
+               count(*) as n_events, round(sum(value), 4) as sum_value
+        from events group by 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# relational closure demos on the TPC-H-ish tables (D6-D8, D15, D18)
+# ---------------------------------------------------------------------------
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 30)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def _pricing_summary_oracle() -> str:
+    return """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) as sum_qty,
+               round(sum(l_extendedprice), 4) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+               round(avg(l_quantity), 4) as avg_qty,
+               count(*) as count_order
+        from lineitem where l_quantity < 30
+        group by l_returnflag, l_linestatus
+    """
+
+
+def _top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "s_suppkey", "revenue", "rnk")
+    )
+
+
+def _top_suppliers_oracle() -> str:
+    return """
+        with rev as (
+          select n.n_name, s.s_suppkey,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) as revenue
+          from lineitem l
+          join supplier s on l.l_suppkey = s.s_suppkey
+          join nation n on s.s_nationkey = n.n_nationkey
+          group by n.n_name, s.s_suppkey
+        )
+        select n_name, s_suppkey, revenue, rnk from (
+          select *, row_number() over (partition by n_name order by revenue desc, s_suppkey) as rnk
+          from rev
+        ) where rnk <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: DiskANN index build + top-k ANN search on sf0.001."""
+    return _ann_query("l2")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # vector / kNN operators (SURVEY §2.1, §2.4)
+        "knn_exact_l2": _knn_query("l2"),
+        "knn_exact_cosine": _knn_query("cosine"),
+        "knn_exact_dot": _knn_query("dot"),
+        "knn_exact_hamming": _knn_hamming,
+        "medoid": _medoid_query,
+        "l2_normalize": _normalize_query,
+        "vector_point_lookup": _point_lookup,
+        "recall_metrics": _recall_metrics,
+        "ann_search_l2": _ann_query("l2"),
+        "ann_search_cosine": _ann_query("cosine"),
+        # dedup suite
+        "dedup_exact": _dedup_exact,
+        "minhash_signatures": _minhash_sigs,
+        "minhash_lsh_pairs": _minhash_pairs,
+        "ngram_jaccard_pairs": _jaccard_pairs,
+        "simhash_signatures": _simhash_sigs,
+        "simhash_near_dups": _simhash_pairs,
+        "embedding_near_dups": _emb_near_dups,
+        "embedding_near_dups_lsh": _emb_near_dups_lsh,
+        # text analysis
+        "text_quality": _text_quality,
+        "lang_id": _lang_id,
+        "token_stats": _token_stats,
+        "doc_fingerprint": _fingerprint,
+        # events (batch twins of streaming ops)
+        "events_sessionize": _sessionize,
+        "events_windowed_agg": _windowed_agg,
+        # relational closure demos
+        "pricing_summary": _pricing_summary,
+        "top_suppliers_per_nation": _top_suppliers,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_exact_l2": _knn_oracle("l2"),
+        "knn_exact_cosine": _knn_oracle("cosine"),
+        "knn_exact_dot": _knn_oracle("dot"),
+        "knn_exact_hamming": _knn_hamming_oracle(),
+        "medoid": _medoid_oracle(),
+        "l2_normalize": _normalize_oracle(),
+        "vector_point_lookup": _point_lookup_oracle(),
+        "recall_metrics": _recall_metrics_oracle(),
+        # ann_search_* are graph-dependent (pandas-UDF beam search) — no SQL
+        "dedup_exact": _dedup_exact_oracle(),
+        "minhash_signatures": _minhash_sigs_oracle(),
+        "minhash_lsh_pairs": _minhash_pairs_oracle(),
+        "ngram_jaccard_pairs": _jaccard_pairs_oracle(),
+        "simhash_signatures": _simhash_sigs_oracle(),
+        "simhash_near_dups": _simhash_pairs_oracle(),
+        "embedding_near_dups": _emb_near_dups_oracle(),
+        # embedding_near_dups_lsh is approximate — rows-only
+        "text_quality": _text_quality_oracle(),
+        "lang_id": _lang_id_oracle(),
+        "token_stats": _token_stats_oracle(),
+        "doc_fingerprint": _fingerprint_oracle(),
+        "events_sessionize": _sessionize_oracle(),
+        "events_windowed_agg": _windowed_agg_oracle(),
+        "pricing_summary": _pricing_summary_oracle(),
+        "top_suppliers_per_nation": _top_suppliers_oracle(),
+    }

@@ -1,0 +1,351 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup strategies, each declarative DataFrame plans over a documents
+table ``(doc_id BIGINT, text STRING)`` or an embeddings table — chosen so
+the scale behavior is explicit:
+
+- **exact**         one hash-shuffle on md5(text); linear.
+- **minhash_lsh**   shingle -> signature (narrow, codegen) -> band
+                    explode -> equi-join on band key. The classic
+                    sub-quadratic near-dup path: candidates only where a
+                    band collides, verified by exact Jaccard afterwards.
+- **simhash**       one signature per doc (narrow); near-dup via banded
+                    equi-join on signature chunks + popcount filter.
+- **ngram_jaccard** exact Jaccard via explode + self-join on shingle —
+                    quadratic in colliding docs; this is the *verifier*
+                    for minhash, not the scale path.
+- **embedding near-dup** cosine over vector columns; brute-force variant
+                    (the oracle) and an LSH-bucketed variant (the scale
+                    path — random-hyperplane signs bucket the join).
+
+All outputs order-insensitive and oracle-checkable except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rust_diskann_spark.functions import text as TX
+from rust_diskann_spark.functions.distance import distance_expr
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: (doc_id, content_hash, canonical_id,
+    is_duplicate). Canonical = min doc_id per hash group. One shuffle on
+    the 128-bit hash; at 100 TB this is the cheapest possible dedup (the
+    shuffle carries (hash, id) pairs only, not the text)."""
+    hashed = docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, signature ARRAY<BIGINT>): MinHash over word n-gram shingles.
+    Narrow (no shuffle) and codegen'd — per-row cost only."""
+    shingles = TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n)
+    return docs.select(
+        "doc_id", TX.minhash_signature_expr(shingles).alias("signature")
+    ).filter(F.size(TX.tokens_expr(F.col(text_col))) >= n)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b): docs sharing >=1 band bucket.
+
+    Plan: signatures -> posexplode band keys -> self-equi-join on
+    (band, key) -> distinct. The join is an equi-join on the band key, so
+    Catalyst shuffles both sides by key — candidates never materialize the
+    quadratic cross product. Hot buckets (boilerplate docs) are the skew
+    risk at scale: AQE skew-join handles moderate skew; degenerate buckets
+    should be length-capped upstream.
+    """
+    sigs = minhash_signatures(docs, text_col, n)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(TX.lsh_band_keys_expr(F.col("signature"))).alias(
+            "band", "band_key"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact n-gram Jaccard: (doc_a, doc_b,
+    jaccard). The verify join touches only candidate pairs."""
+    cands = minhash_candidate_pairs(docs, text_col, n)
+    shingle_sets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n)
+        ).alias("shingles"),
+    )
+    a = shingle_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = shingle_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
+        "double"
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact — the verifier for MinHash)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold via explode + shingle self-join
+    (doc_a < doc_b). Only docs *sharing a shingle* ever meet in the join —
+    still worst-case quadratic; use minhash_near_duplicates at scale."""
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n)
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    common = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash BIGINT): SIMHASH_BITS-bit SimHash per document."""
+    return docs.select(
+        "doc_id", TX.simhash_expr(TX.tokens_expr(F.col(text_col))).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within ``max_hamming`` bits.
+
+    Scale path: band the signature into (max_hamming+1) chunks — by
+    pigeonhole, any pair within max_hamming bits agrees exactly on >=1
+    chunk — equi-join on (chunk_id, chunk_value), then popcount-filter.
+    Never a cross join.
+    """
+    sigs = simhash_signatures(docs, text_col)
+    n_chunks = max_hamming + 1
+    chunk_bits = max(TX.SIMHASH_BITS // n_chunks, 1)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (id_a < id_b, cosine_sim >=
+    threshold). Exact; quadratic — the oracle for the LSH variant below."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.lit(1.0) - distance_expr("cosine", F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup: bucket by sign pattern over
+    ``n_planes`` seeded hyperplanes x ``n_tables`` tables, equi-join within
+    buckets, verify cosine. Approximate (may miss pairs straddling
+    hyperplanes — more tables -> higher recall); the 100 TB path, since
+    the join is an equi-join on (table, bucket)."""
+    import numpy as np
+
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def bucket_expr(t: int) -> F.Column:
+        bits = []
+        for p in range(n_planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(w)) for w in planes[t, p]]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    buckets = emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(F.array(*[bucket_expr(t) for t in range(n_tables)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.lit(1.0) - distance_expr("cosine", F.col("va"), F.col("vb"))
+    return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )
