@@ -1,0 +1,117 @@
+"""Benchmark harness — runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set (mirrors BASELINE.md's axes):
+- ann_build        index build wall time (baseline: 3916.98 s / 1M vectors)
+- ann_search       batch ANN top-10 (baseline: 24,379 q/s at beam 512)
+- exact_knn        brute-force oracle path
+- dedup + text     the training-data pipeline ops at the documents scale
+- relational       pricing summary + sessionization
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("rust_diskann_spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "90g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from rust_diskann_spark import IndexParams, build_index, open_index
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    vectors = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).persist()
+    n_vec = vectors.count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    idx_path = os.path.join(tempfile.gettempdir(), "rds_bench_idx")
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    # shard sizing: ~250 vectors per shard locally; at scale this knob is
+    # n / (5-20M) — see operators/build.py scale math
+    num_shards = max(2, min(int(CPUS), n_vec // 250))
+    params = IndexParams(
+        max_degree=32, build_beam_width=64, num_shards=num_shards, seed=42
+    )
+
+    timed("ann_build", lambda: build_index(vectors, idx_path, params))
+    idx = open_index(spark, idx_path).warm()
+    timed(
+        "ann_search",
+        lambda: idx.search_with_dists(queries, k=10, beam_width=128).count(),
+    )
+
+    qs = entry_mod.queries()
+    bench_queries = [
+        "knn_exact_l2",
+        "knn_exact_cosine",
+        "minhash_lsh_pairs",
+        "simhash_near_dups",
+        "dedup_exact",
+        "text_quality",
+        "doc_fingerprint",
+        "embedding_near_dups",
+        "events_sessionize",
+        "events_windowed_agg",
+        "pricing_summary",
+        "top_suppliers_per_nation",
+    ]
+    for name in bench_queries:
+        timed(name, lambda fn=qs[name]: fn(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

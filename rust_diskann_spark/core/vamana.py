@@ -171,11 +171,15 @@ def greedy_search(
             continue
         visited[fresh] = True
         dists = _dist_batch(metric, query, vectors[fresh])
-        for nid, nd in zip(fresh, dists):
-            nd = float(nd)
-            nid = int(nid)
-            if collect_visited:
-                visited_out.append((nd, nid))
+        if collect_visited:
+            visited_out.extend(zip(dists.tolist(), fresh.tolist()))
+        if len(w) >= beam_width:
+            # admission requires nd < current worst; worst only shrinks as
+            # we admit, so pre-filtering against the batch-entry worst is
+            # exact (rejected items could never be admitted later)
+            mask = dists < -w[0][0]
+            fresh, dists = fresh[mask], dists[mask]
+        for nid, nd in zip(fresh.tolist(), dists.tolist()):
             if len(w) < beam_width or nd < -w[0][0]:
                 heapq.heappush(frontier, (nd, nid))
                 _admit(w, nd, nid, beam_width)
@@ -234,26 +238,31 @@ def robust_prune(
     order = np.lexsort((ids, dists))
     ids, dists = ids[order], dists[order]
 
+    # Vectorized scan: equivalent to the reference's per-candidate loop but
+    # with one batched distance evaluation per *selected* node (<= max_degree
+    # calls) instead of one per candidate. status: 0 pending, 1 selected,
+    # -1 occluded. Iteration order == (dist, id) order, so selections and
+    # the phase-2 backfill pool come out in the reference's order.
+    m = len(ids)
+    cvecs = vectors[ids]
+    status = np.zeros(m, dtype=np.int8)
     selected: list[int] = []
-    rejected: list[int] = []
-    sel_vecs: list[np.ndarray] = []
-    for c, d_cu in zip(ids, dists):
-        if len(selected) >= max_degree:
-            rejected.append(int(c))
+    for i in range(m):
+        if status[i] != 0:
             continue
-        if selected:
-            d_cs = _dist_batch(metric, vectors[int(c)], np.array(sel_vecs))
-            if np.any(alpha * d_cs <= d_cu):
-                rejected.append(int(c))
-                continue
-        selected.append(int(c))
-        sel_vecs.append(vectors[int(c)])
-
-    # Phase 2 backfill: rejected are already in (dist, id) order
-    for c in rejected:
         if len(selected) >= max_degree:
             break
-        selected.append(c)
+        status[i] = 1
+        selected.append(int(ids[i]))
+        d_si = _dist_batch(metric, cvecs[i], cvecs)
+        occ = (alpha * d_si <= dists) & (status == 0)
+        status[occ] = -1
+
+    if len(selected) < max_degree:
+        # Phase 2 backfill: nearest rejected first (already in order)
+        pool = ids[status != 1]
+        take = max_degree - len(selected)
+        selected.extend(int(x) for x in pool[:take])
     return np.array(selected, dtype=np.int64)
 
 
