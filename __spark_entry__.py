@@ -468,10 +468,22 @@ def _emb_near_dups_oracle() -> str:
     """
 
 
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted near-dup corpus: every 50th vector duplicated verbatim at
+    vec_id + 1_000_000 (cosine_sim = 1.0), so near-dup recall is a
+    deterministic, non-empty signal on the synthetic fixture."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return emb.unionAll(dups)
+
+
 def _emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH-bucketed) variant — rows-only check; its recall vs
-    the exact query is the quality signal."""
-    res = DD.embedding_near_duplicates_lsh(_t(spark, sf_dir, "embeddings"), NEAR_DUP_TAU)
+    """Approximate (LSH-bucketed) variant over the planted corpus at the
+    true near-dup threshold — rows-only check; identical twins collide in
+    every table, so all planted pairs must surface (recall = 1 on them)."""
+    res = DD.embedding_near_duplicates_lsh(_emb_with_dups(spark, sf_dir), 0.95)
     return res.select("id_a", "id_b", F.round("cosine_sim", RND).alias("cosine_sim"))
 
 

@@ -112,19 +112,28 @@ def sql_word_ngrams(tokens: str, n: int) -> str:
 
 def minhash_signature_expr(tokens: Column) -> Column:
     """MINHASH_PERMS-wide signature: for perm i, min over token hashes of
-    (a_i * h + b_i) mod P. Pure built-ins -> stays in codegen."""
-    hashes = token_hashes_expr(tokens)
+    (a_i * h + b_i) mod P. Pure built-ins -> stays in codegen.
 
-    def perm(a: int, b: int):
-        # closure factory: pyspark higher-order lambdas may bind extra
-        # params as lambda variables, so default-arg capture is unsafe
-        return lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P
-
-    mins = [
-        F.array_min(F.transform(hashes, perm(a, b)))
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.array(*mins)
+    Formulated as ONE ``aggregate`` fold carrying the whole signature as
+    the accumulator: each token is md5-hashed exactly once, then updates
+    all perms via a cheap ``zip_with``. The naive per-perm formulation
+    (32 x ``array_min(transform(...))``) re-evaluates the md5 hash array
+    per perm after Catalyst collapses the projections — ~30x more hashing.
+    """
+    coeffs = F.arrays_zip(
+        F.array(*[F.lit(a).cast("long") for a in MINHASH_A]).alias("a"),
+        F.array(*[F.lit(b).cast("long") for b in MINHASH_B]).alias("b"),
+    )
+    init = F.array_repeat(F.lit(HASH_P).cast("long"), MINHASH_PERMS)
+    # fold over the PRE-hashed longs: the md5 work sits in the aggregate's
+    # input (evaluated once per row); the lambda touches only cheap i64 ops
+    return F.aggregate(
+        token_hashes_expr(tokens),
+        init,
+        lambda acc, h: F.zip_with(
+            acc, coeffs, lambda m, ab: F.least(m, (ab["a"] * h + ab["b"]) % HASH_P)
+        ),
+    )
 
 
 def sql_minhash_signature(tokens: str) -> str:
@@ -167,20 +176,32 @@ def sql_lsh_band_keys(signature: str) -> str:
 
 def simhash_expr(tokens: Column) -> Column:
     """SIMHASH_BITS-bit SimHash over distinct token hashes: bit b is set
-    iff sum over tokens of (2*bit_b(h) - 1) > 0."""
-    hashes = F.array_distinct(token_hashes_expr(tokens))
+    iff sum over tokens of (2*bit_b(h) - 1) > 0.
 
-    def bit_sum(b: int):
-        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-
-    bits = []
-    for b in range(SIMHASH_BITS):
-        s = F.aggregate(hashes, F.lit(0).cast("long"), bit_sum(b))
-        bits.append(F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0)))
-    out = bits[0]
-    for bit in bits[1:]:
-        out = out + bit
-    return out
+    One ``aggregate`` fold carrying all SIMHASH_BITS counters (md5 per
+    token evaluated once, not once per bit — see minhash_signature_expr).
+    """
+    # powers-of-two array stands in for per-bit shifts (hashes < 2^31, so
+    # the double division below is exact)
+    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    counts = F.aggregate(
+        F.array_distinct(token_hashes_expr(tokens)),
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda c, p: c + (F.floor(h / p).cast("long") % 2) * 2 - 1,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            pows,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def sql_simhash(tokens: str) -> str:
