@@ -28,6 +28,8 @@ from rust_diskann_spark.functions import text as TX
 from rust_diskann_spark.functions.distance import distance_expr, l2_normalize_expr
 from rust_diskann_spark.operators import dedup as DD
 from rust_diskann_spark.operators import eval as EV
+from rust_diskann_spark.operators import ivf as IVF
+from rust_diskann_spark.operators import multimodal as MM
 from rust_diskann_spark.operators.exact import exact_knn
 from rust_diskann_spark.operators.medoid import medoid as medoid_op
 
@@ -334,6 +336,43 @@ def _ann_query(metric: str):
 
 
 # ---------------------------------------------------------------------------
+# IVF similarity search (scale path; full-probe variant is exact => oracle)
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 8
+
+
+def _ivf_query(n_probe: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = IVF.ivf_knn(
+            _qset(spark, sf_dir),
+            _corpus(spark, sf_dir),
+            k=K,
+            metric="l2",
+            n_cells=_IVF_CELLS,
+            n_probe=n_probe,
+            iters=2,
+            seed=42,
+        )
+        return res.select(
+            "query_id", "rank", "id", (F.round("dist", RND) + F.lit(0.0)).alias("dist")
+        )
+
+    return run
+
+
+def _ivf_recall_probe(n_probe: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        approx = _ivf_query(n_probe)(spark, sf_dir)
+        exact = exact_knn(_qset(spark, sf_dir), _corpus(spark, sf_dir), K, "l2")
+        return IVF.ivf_recall(approx, exact, K).select(
+            F.round("recall", RND).alias("recall")
+        )
+
+    return run
+
+
+# ---------------------------------------------------------------------------
 # dedup queries (documents)
 # ---------------------------------------------------------------------------
 
@@ -559,6 +598,82 @@ def _fingerprint_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# multimodal: binary blobs + mapInPandas decode stages (deterministic fake
+# decoder -> md5-derived values DuckDB reproduces exactly)
+# ---------------------------------------------------------------------------
+
+
+def _blobs(spark: SparkSession, sf_dir: str, modality: str = "image") -> DataFrame:
+    return MM.synthesize_blobs(_docs(spark, sf_dir), modality)
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = MM.decode_image_features(_blobs(spark, sf_dir))
+    return res.select(
+        "id", "modality", "n_bytes", "content_hash", "width", "height",
+        F.transform("features", lambda x: F.round(x, RND)).alias("features"),
+    )
+
+
+def _mm_features_oracle() -> str:
+    f = MM.sql_image_features("text")
+    return f"""
+        select doc_id as id, 'image' as modality,
+               {f['n_bytes']} as n_bytes, {f['content_hash']} as content_hash,
+               {f['width']} as width, {f['height']} as height,
+               list_transform({f['features']}, x -> round(x, {RND})) as features
+        from documents
+    """
+
+
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = MM.resize_images(_blobs(spark, sf_dir), 512, 512)
+    return res.select(
+        "id", "width", "height", "out_w", "out_h", F.round("scale", RND).alias("scale")
+    )
+
+
+def _mm_resize_oracle() -> str:
+    f = MM.sql_image_features("text")
+    return f"""
+        with g as (select doc_id as id, {f['width']} as width, {f['height']} as height
+                   from documents),
+        s as (select *, least(512.0 / width, 512.0 / height) as scale from g)
+        select id, width, height,
+               floor(width * scale)::bigint as out_w,
+               floor(height * scale)::bigint as out_h,
+               round(scale, {RND}) as scale
+        from s
+    """
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.sample_frames(_blobs(spark, sf_dir, "video"), every_n=4)
+
+
+def _mm_frames_oracle() -> str:
+    return f"""
+        select d.doc_id as id, f.frame_idx, f.frame_hash
+        from documents d, {MM.sql_frame_sample('d.text', 4)} f
+    """
+
+
+def _mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.audio_stats(_blobs(spark, sf_dir, "audio"))
+
+
+def _mm_audio_oracle() -> str:
+    h = MM.sql_h60(MM.sql_blob_hash("text"))
+    return f"""
+        select doc_id as id,
+               (1 + {h} % {MM.MAX_DUR_MS})::bigint as duration_ms,
+               (8000 + ({h} % 5) * 8000)::bigint as sample_rate,
+               ({h} % 32768)::bigint as rms
+        from documents
+    """
+
+
+# ---------------------------------------------------------------------------
 # events: sessionization + windowed aggregation (batch twins of the
 # streaming operators in rust_diskann_spark.streaming)
 # ---------------------------------------------------------------------------
@@ -602,6 +717,41 @@ def _sessionize_oracle() -> str:
                  over (partition by user_id order by ts_us, event_id
                        rows between unbounded preceding and current row)::bigint as session_seq
         from g
+    """
+
+
+def _session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (the streaming operator's batch
+    twin — rust_diskann_spark.streaming.sessionized_counts)."""
+    from rust_diskann_spark.streaming import sessionized_counts
+
+    return sessionized_counts(_events(spark, sf_dir), gap="30 minutes")
+
+
+def _session_window_agg_oracle() -> str:
+    # islands algorithm; Spark sessions merge only on STRICT overlap
+    # (next.start < prev.end), so a new session opens when diff >= gap
+    return f"""
+        with g as (
+          select user_id, epoch_us(ts) as ts_us, value,
+                 case when epoch_us(ts) - lag(epoch_us(ts)) over
+                        (partition by user_id order by epoch_us(ts))
+                      >= {SESSION_GAP_US} then 1
+                      when lag(epoch_us(ts)) over
+                        (partition by user_id order by epoch_us(ts)) is null then 1
+                      else 0 end as new_sess
+          from events
+        ),
+        s as (
+          select *, sum(new_sess) over
+                 (partition by user_id order by ts_us
+                  rows between unbounded preceding and current row) as session_seq
+          from g
+        )
+        select user_id, min(ts_us) as session_start_us,
+               max(ts_us) + {SESSION_GAP_US} as session_end_us,
+               count(*) as n_events, round(sum(value), 4) as sum_value
+        from s group by user_id, session_seq
     """
 
 
@@ -715,6 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_metrics": _recall_metrics,
         "ann_search_l2": _ann_query("l2"),
         "ann_search_cosine": _ann_query("cosine"),
+        "ivf_knn_fullprobe": _ivf_query(_IVF_CELLS),
+        "ivf_knn_probe2": _ivf_query(2),
+        "ivf_recall_probe2": _ivf_recall_probe(2),
         # dedup suite
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_sigs,
@@ -724,6 +877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _simhash_pairs,
         "embedding_near_dups": _emb_near_dups,
         "embedding_near_dups_lsh": _emb_near_dups_lsh,
+        # multimodal
+        "multimodal_image_features": _mm_features,
+        "multimodal_resize": _mm_resize,
+        "multimodal_frame_sample": _mm_frames,
+        "multimodal_audio_stats": _mm_audio,
         # text analysis
         "text_quality": _text_quality,
         "lang_id": _lang_id,
@@ -731,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _fingerprint,
         # events (batch twins of streaming ops)
         "events_sessionize": _sessionize,
+        "events_session_window_agg": _session_window_agg,
         "events_windowed_agg": _windowed_agg,
         # relational closure demos
         "pricing_summary": _pricing_summary,
@@ -749,6 +908,9 @@ def oracle_sql() -> dict[str, str]:
         "vector_point_lookup": _point_lookup_oracle(),
         "recall_metrics": _recall_metrics_oracle(),
         # ann_search_* are graph-dependent (pandas-UDF beam search) — no SQL
+        # full-probe IVF scans every cell => exact kNN, same oracle as D5
+        "ivf_knn_fullprobe": _knn_oracle("l2"),
+        # ivf_knn_probe2 / ivf_recall_probe2 are approximate — rows-only
         "dedup_exact": _dedup_exact_oracle(),
         "minhash_signatures": _minhash_sigs_oracle(),
         "minhash_lsh_pairs": _minhash_pairs_oracle(),
@@ -757,11 +919,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_pairs_oracle(),
         "embedding_near_dups": _emb_near_dups_oracle(),
         # embedding_near_dups_lsh is approximate — rows-only
+        "multimodal_image_features": _mm_features_oracle(),
+        "multimodal_resize": _mm_resize_oracle(),
+        "multimodal_frame_sample": _mm_frames_oracle(),
+        "multimodal_audio_stats": _mm_audio_oracle(),
         "text_quality": _text_quality_oracle(),
         "lang_id": _lang_id_oracle(),
         "token_stats": _token_stats_oracle(),
         "doc_fingerprint": _fingerprint_oracle(),
         "events_sessionize": _sessionize_oracle(),
+        "events_session_window_agg": _session_window_agg_oracle(),
         "events_windowed_agg": _windowed_agg_oracle(),
         "pricing_summary": _pricing_summary_oracle(),
         "top_suppliers_per_nation": _top_suppliers_oracle(),

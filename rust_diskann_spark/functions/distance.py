@@ -127,6 +127,25 @@ def numpy_distance(metric: str, q: np.ndarray, m: np.ndarray) -> np.ndarray:
     raise ValueError(f"unsupported metric {metric!r}; expected one of {SUPPORTED_METRICS}")
 
 
+def numpy_distance_matrix(metric: str, m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """All-pairs distances between rows of ``m`` (n, d) and ``c`` (k, d)
+    -> float64 (n, k). Same semantics as :func:`numpy_distance`, batched
+    (one BLAS matmul instead of n kernel calls)."""
+    m = np.asarray(m, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    if metric == "l2":
+        sq = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.sqrt(np.maximum(sq, 0.0))
+    if metric == "cosine":
+        denom = np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(c, axis=1)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom > 0, (m @ c.T) / denom, 0.0)
+        return 1.0 - sim
+    if metric == "dot":
+        return 1.0 - m @ c.T
+    raise ValueError(f"metric {metric!r} has no batch matrix kernel (l2/cosine/dot)")
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (numpy<2 has no bit_count ufunc)."""
     v = x.view(np.uint8)

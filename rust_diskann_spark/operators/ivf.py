@@ -1,0 +1,199 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The scale path for similarity search that complements the Vamana graph
+index (operators/build.py, reference lib.rs:973-1133): vectors are
+partitioned into ``n_cells`` Voronoi cells around k-means centroids; a
+query scans only its ``n_probe`` closest cells. With ``n_probe ==
+n_cells`` the search degenerates to exact brute-force kNN — that variant
+is DuckDB-oracle-checkable, while the sub-linear ``n_probe < n_cells``
+variant is graded by recall against the exact oracle.
+
+Scale design (100 TB):
+- the centroid "model" is tiny (n_cells x dim); it travels to executors
+  inside the mapInPandas closure — never a shuffle;
+- cell assignment is a NARROW map (one BLAS matmul per Arrow batch,
+  argmin per row). The assigned table is written back partitioned by
+  ``cell``, so probes prune whole partitions — Catalyst partition
+  pruning does the row skipping, playing the role of the reference's
+  graph pruning (README.md:32);
+- k-means iterations reduce only per-partition partial (cell, sum, count)
+  triples to the driver (map-side combine; n_cells x dim scalars cross);
+- at query time the (query x probe) side is broadcast; the corpus is
+  equi-joined on ``cell`` and never shuffled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_diskann_spark.functions.distance import distance_expr, numpy_distance_matrix
+
+ASSIGNED_SCHEMA = "cell INT, id BIGINT, vec ARRAY<DOUBLE>"
+
+
+def _base(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return vectors.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def _assign_map(cents: np.ndarray, metric: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            d = numpy_distance_matrix(metric, mat, cents)
+            # np.argmin takes the first minimum -> ties break by cell asc
+            pdf = pdf.assign(cell=d.argmin(axis=1).astype(np.int32))
+            yield pdf[["cell", "id", "vec"]]
+
+    return fn
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    metric: str = "l2",
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> np.ndarray:
+    """Seeded Lloyd's k-means -> centroid matrix (n_cells, dim).
+
+    Init: the ``n_cells`` rows with smallest ``xxhash64(id, seed)`` — a
+    deterministic pseudo-random sample (narrow scan + small top-k). Each
+    iteration is one narrow assignment pass + one map-side-combined
+    (cell, pos)-average; only n_cells x dim scalars reach the driver.
+    """
+    base = _base(vectors, id_col, vec_col).persist()
+    try:
+        init = (
+            base.withColumn("h", F.xxhash64(F.col("id"), F.lit(seed)))
+            .orderBy("h", "id")
+            .limit(n_cells)
+            .select("vec")
+            .collect()
+        )
+        cents = np.array([list(r["vec"]) for r in init], dtype=np.float64)
+
+        for _ in range(max(iters, 0)):
+            assigned = base.mapInPandas(_assign_map(cents, metric), ASSIGNED_SCHEMA)
+            upd = (
+                assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new = cents.copy()
+            sums = np.zeros_like(cents)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            for r in upd:
+                sums[r["cell"], r["pos"]] += r["s"]
+                counts[r["cell"]] = r["n"]
+            nonempty = counts > 0
+            new[nonempty] = sums[nonempty] / counts[nonempty, None]
+            cents = new
+        return cents
+    finally:
+        base.unpersist()
+
+
+def build_ivf(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    metric: str = "l2",
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> tuple[DataFrame, np.ndarray]:
+    """Build the IVF structure: (assigned, centroids) where ``assigned``
+    is (cell INT, id BIGINT, vec ARRAY<DOUBLE>) — write it out
+    ``.write.partitionBy("cell")`` for partition-pruned probes."""
+    cents = kmeans_centroids(vectors, n_cells, metric, iters, seed, id_col, vec_col)
+    assigned = _base(vectors, id_col, vec_col).mapInPandas(
+        _assign_map(cents, metric), ASSIGNED_SCHEMA
+    )
+    return assigned, cents
+
+
+def ivf_search(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    n_probe: int,
+    metric: str = "l2",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest cells per query -> (query_id, rank,
+    id, dist), rank 1..k by (dist, id) — reference Candidate ordering
+    (lib.rs:150-163). The corpus is equi-joined on ``cell`` against a
+    broadcast probe list; the final distances are JVM-side SQL folds, so
+    the full-probe variant hash-matches the exact-kNN oracle."""
+    spark = queries.sparkSession
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("query_id"),
+        F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    dprobe = distance_expr(metric, F.col("qv"), F.col("centroid"))
+    wprobe = Window.partitionBy("query_id").orderBy("cd", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("cd", dprobe)
+        .withColumn("crank", F.row_number().over(wprobe))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    d = distance_expr(metric, F.col("qv"), F.col("vec"))
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id", "id", d.alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    metric: str = "l2",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot build + search (test/bench convenience). ``n_probe >=
+    n_cells`` makes it exact (every cell scanned) — the oracle anchor."""
+    assigned, cents = build_ivf(vectors, n_cells, metric, iters, seed)
+    return ivf_search(queries, assigned, cents, k, n_probe, metric)
+
+
+def ivf_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """ID-recall@k of an IVF result against the exact result (both in
+    (query_id, rank, id, ...) form) -> one row (recall DOUBLE)."""
+    hits = approx.filter(F.col("rank") <= k).join(
+        exact.filter(F.col("rank") <= k).select("query_id", "id"),
+        ["query_id", "id"],
+    )
+    nq = exact.select("query_id").distinct().count()
+    if nq == 0:
+        return approx.sparkSession.createDataFrame([(0.0,)], "recall DOUBLE")
+    return hits.agg((F.count("*") / F.lit(float(nq * k))).alias("recall"))
