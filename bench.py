@@ -83,13 +83,19 @@ def main() -> None:
     bench_queries = [
         "knn_exact_l2",
         "knn_exact_cosine",
+        "ivf_knn_fullprobe",
+        "ivf_knn_probe2",
         "minhash_lsh_pairs",
         "simhash_near_dups",
         "dedup_exact",
         "text_quality",
         "doc_fingerprint",
         "embedding_near_dups",
+        "embedding_near_dups_lsh",
+        "multimodal_image_features",
+        "multimodal_frame_sample",
         "events_sessionize",
+        "events_session_window_agg",
         "events_windowed_agg",
         "pricing_summary",
         "top_suppliers_per_nation",

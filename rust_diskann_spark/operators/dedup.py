@@ -267,16 +267,78 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Brute-force cosine near-dup pairs (id_a < id_b, cosine_sim >=
-    threshold). Exact; quadratic — the oracle for the LSH variant below."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = F.lit(1.0) - distance_expr("cosine", F.col("va"), F.col("vb"))
+    """Exact cosine near-dup pairs (id_a < id_b, cosine_sim >= threshold)
+    — the oracle for the LSH variant below.
+
+    Distributed block-pair matmul, not a nested-loop join: vectors are
+    split into ``n_blocks`` id-hash blocks; each unordered block pair
+    (bi <= bj) becomes one task that computes the full similarity matrix
+    between the two blocks with a single float64 BLAS matmul and emits
+    only pairs above threshold. Each row is replicated n_blocks times
+    (the standard sqrt-replication all-pairs scheme), so shuffle volume
+    is O(n * sqrt(#pairs-tasks) * dim) while compute stays vectorized —
+    ~3 orders faster than evaluating the zip_with/aggregate cosine fold
+    per pair. Exactness is untouched: float64 matmul + threshold.
+    """
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v"))
+    if n_blocks is None:
+        n = base.count()
+        # ~2k rows per block keeps each task's matmul comfortably in memory
+        n_blocks = max(1, (n + 2047) // 2048)
+
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    blocked = base.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+
+    # side A feeds every pair whose bi matches the row's block; side B the
+    # bj side (two independent pair tables keep the lineages unambiguous)
+    pairs_a = spark.createDataFrame(pair_rows, "bi INT, bj INT")
+    pairs_b = spark.createDataFrame(pair_rows, "bi INT, bj INT")
+    left = blocked.join(F.broadcast(pairs_a), F.col("b") == F.col("bi")).select(
+        "bi", "bj", "id", "v"
+    )
+    right = (
+        blocked.select(
+            F.col("b").alias("rb"), F.col("id").alias("rid"), F.col("v").alias("rv")
+        )
+        .join(F.broadcast(pairs_b), F.col("rb") == F.col("bj"))
+        .select("bi", "bj", "rid", "rv")
+    )
+
+    def block_sims(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"}
+        )
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        ma = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
+        mb = np.stack(b_pdf["rv"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        denom = na[:, None] * nb[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (ma @ mb.T) / denom, 0.0)
+        ia = a_pdf["id"].to_numpy()
+        ib = b_pdf["rid"].to_numpy()
+        # orient every pair id_a < id_b; drop self-pairs (diagonal block)
+        lt = ia[:, None] < ib[None, :]
+        keep = (sims >= threshold) & (ia[:, None] != ib[None, :])
+        r, c = np.nonzero(keep)
+        id_a = np.where(lt[r, c], ia[r], ib[c])
+        id_b = np.where(lt[r, c], ib[c], ia[r])
+        out = pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cosine_sim": sims[r, c]}
+        ).drop_duplicates(["id_a", "id_b"])
+        return out.astype({"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"})
+
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(block_sims, "id_a BIGINT, id_b BIGINT, cosine_sim DOUBLE")
+        # off-diagonal blocks see each unordered pair once; the diagonal
+        # block sees (x,y) and (y,x) — dedup inside the task handles that
     )
 
 

@@ -12,10 +12,10 @@ Plan shape (and why it scales):
   zero shuffle of corpus rows.
 - the distance fold is a codegen'd higher-order function — no Python in
   the hot path.
-- top-k per query uses a window rank; AQE handles per-query skew. Partial
-  aggregation keeps the shuffle at O(q * k), not O(q * n): the rank's
-  shuffle carries only (query_id, id, dist) triples that survive a local
-  pre-filter when ``prefilter_topk`` is on.
+- top-k per query uses a window rank; Spark's WindowGroupLimit rewrite
+  (verified in the executed plan) inserts a PARTIAL group-limit before
+  the exchange, so the shuffle carries O(q * k * partitions) surviving
+  triples, not the full O(q * n) score matrix.
 """
 
 from __future__ import annotations
