@@ -32,7 +32,11 @@ FP_MULT = 131
 MINHASH_PERMS = 32
 LSH_BANDS = 8
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
-SIMHASH_BITS = 16
+# 60-bit SimHash from two 30-bit md5 halves: wide enough that banded
+# chunks (60/4 = 15 bits) collide at ~2^-15, keeping candidate sets
+# near-linear; 16 bits collided at 1/16 per chunk — quadratic blowup
+SIMHASH_BITS = 60
+SIMHASH_HALF = 30
 
 # deterministic LCG-style permutation coefficients (a != 0)
 MINHASH_A = [(1103515245 * (i + 1) + 12345) % HASH_P or 1 for i in range(MINHASH_PERMS)]
@@ -174,25 +178,62 @@ def sql_lsh_band_keys(signature: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _half_hash_expr(token: Column, lo: int) -> Column:
+    """30-bit hash from md5 hex chars [lo, lo+8): 32-bit hex chunk
+    reduced mod 2^30 — portable (Spark conv == DuckDB hex cast)."""
+    return F.conv(F.substring(F.md5(token), lo, 8), 16, 10).cast("long") % (
+        1 << SIMHASH_HALF
+    )
+
+
+def _sql_half_hash(token: str, lo: int) -> str:
+    return f"(('0x' || substr(md5({token}), {lo}, 8))::bigint % {1 << SIMHASH_HALF})"
+
+
 def simhash_expr(tokens: Column) -> Column:
-    """SIMHASH_BITS-bit SimHash over distinct token hashes: bit b is set
-    iff sum over tokens of (2*bit_b(h) - 1) > 0.
+    """SIMHASH_BITS-bit SimHash over DISTINCT tokens: bit b is set iff
+    sum over tokens of (2*bit_b(h) - 1) > 0, where bits 0..29 come from
+    one md5-derived 30-bit half and bits 30..59 from another.
 
     One ``aggregate`` fold carrying all SIMHASH_BITS counters (md5 per
-    token evaluated once, not once per bit — see minhash_signature_expr).
+    token evaluated per half, not once per bit — see
+    minhash_signature_expr for the pattern's rationale).
     """
-    # powers-of-two array stands in for per-bit shifts (hashes < 2^31, so
-    # the double division below is exact)
-    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    halves = F.transform(
+        F.array_distinct(tokens),
+        lambda t: F.struct(
+            _half_hash_expr(t, 1).alias("a"), _half_hash_expr(t, 9).alias("b")
+        ),
+    )
+    # per-bit metadata: which half to read and the power-of-two for the
+    # in-half bit (halves < 2^30, so double division is exact)
+    meta = F.array(
+        *[
+            F.struct(
+                F.lit(b // SIMHASH_HALF).alias("sel"),
+                F.lit(1 << (b % SIMHASH_HALF)).cast("long").alias("p"),
+            )
+            for b in range(SIMHASH_BITS)
+        ]
+    )
     counts = F.aggregate(
-        F.array_distinct(token_hashes_expr(tokens)),
+        halves,
         F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
-            pows,
-            lambda c, p: c + (F.floor(h / p).cast("long") % 2) * 2 - 1,
+            meta,
+            lambda c, m: c
+            + (
+                F.floor(
+                    F.when(m["sel"] == 0, h["a"]).otherwise(h["b"]) / m["p"]
+                ).cast("long")
+                % 2
+            )
+            * 2
+            - 1,
         ),
     )
+    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
     return F.aggregate(
         F.zip_with(
             counts,
@@ -205,11 +246,12 @@ def simhash_expr(tokens: Column) -> Column:
 
 
 def sql_simhash(tokens: str) -> str:
-    hashes = f"list_distinct({sql_token_hashes(tokens)})"
+    dt = f"list_distinct({tokens})"
     terms = " + ".join(
         f"(case when list_reduce(list_prepend(0::bigint, "
-        f"list_transform({hashes}, h -> ((h >> {b}) & 1) * 2 - 1)), "
-        f"(acc, x) -> acc + x) > 0 then {2**b} else 0 end)"
+        f"list_transform({dt}, t -> ((({_sql_half_hash('t', 1 if b < SIMHASH_HALF else 9)}) "
+        f">> {b % SIMHASH_HALF}) & 1) * 2 - 1)), "
+        f"(acc, x) -> acc + x) > 0 then {2**b}::bigint else 0::bigint end)"
         for b in range(SIMHASH_BITS)
     )
     return f"({terms})"

@@ -74,16 +74,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3) -> D
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs sharing >=1 band bucket.
 
-    Plan: signatures -> posexplode band keys -> self-equi-join on
-    (band, key) -> distinct. The join is an equi-join on the band key, so
-    Catalyst shuffles both sides by key — candidates never materialize the
-    quadratic cross product. Hot buckets (boilerplate docs) are the skew
-    risk at scale: AQE skew-join handles moderate skew; degenerate buckets
-    should be length-capped upstream.
+    Plan: signatures -> posexplode band keys -> ONE shuffle grouping by
+    (band, key) -> in-array pair generation (nested ``transform`` over
+    the sorted bucket) -> distinct. Grouping instead of a self-join
+    evaluates the (expensive) signature lineage once and shuffles each
+    band row once — the join formulation scanned and shuffled it twice.
+    Hot buckets (boilerplate docs) are the skew risk at scale: a bucket
+    of B docs emits B^2/2 pairs; ``max_bucket_size`` drops degenerate
+    buckets (standard practice — such buckets mean near-identical
+    boilerplate better handled by exact dedup first).
     """
     sigs = minhash_signatures(docs, text_col, n)
     bands = sigs.select(
@@ -92,16 +98,25 @@ def minhash_candidate_pairs(
             "band", "band_key"
         ),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -231,29 +246,35 @@ def simhash_near_duplicates(
             )
         ).alias("chunk_id", "chunk_val"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # one shuffle: group each chunk bucket, generate pairs in-array (the
+    # signature lineage is evaluated once — a self-join would scan twice)
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+        .filter(F.size("ds") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("long")
+                    .alias("hamming"),
+                ),
+            ),
         )
-        .distinct()
     )
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
