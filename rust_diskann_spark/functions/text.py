@@ -96,8 +96,11 @@ def sql_token_hashes(tokens: str) -> str:
 
 def word_ngrams_expr(tokens: Column, n: int) -> Column:
     """Word n-grams joined by a single space; empty array when the document
-    has fewer than n tokens."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    has fewer than n tokens (guarded: ``sequence(1, 0)`` would otherwise
+    produce a DESCENDING [1, 0] and poison the slice)."""
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
 
 

@@ -1,0 +1,124 @@
+"""Text-function and dedup-operator properties (the DuckDB contract
+checker cross-checks values; these tests pin the *semantics*)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_diskann_spark.functions import text as TX
+from rust_diskann_spark.operators import dedup as DD
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup (1 token)
+    (3, "a completely different sentence about spark engines"),
+    (4, "der schnelle braune fuchs springt und ist nicht hier"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING").persist()
+
+
+def test_exact_duplicates(docs):
+    res = {r["doc_id"]: r for r in DD.exact_duplicates(docs).collect()}
+    assert res[0]["canonical_id"] == 0 and not res[0]["is_duplicate"]
+    assert res[1]["canonical_id"] == 0 and res[1]["is_duplicate"]
+    assert not res[2]["is_duplicate"]
+    assert res[0]["content_hash"] == res[1]["content_hash"]
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: r["signature"] for r in DD.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == TX.MINHASH_PERMS
+    assert sigs[0] != sigs[3]
+    assert 5 not in sigs  # too few tokens -> filtered
+
+
+def test_minhash_near_dup_similarity_ordering(docs):
+    sigs = {r["doc_id"]: r["signature"] for r in DD.minhash_signatures(docs).collect()}
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b])) / TX.MINHASH_PERMS
+
+    assert est(0, 2) > est(0, 3)  # near dup more similar than unrelated
+
+
+def test_lsh_pairs_find_planted_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in DD.minhash_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+
+
+def test_minhash_near_duplicates_verified(docs):
+    rows = DD.minhash_near_duplicates(docs, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert got[(0, 1)] == 1.0
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+    assert sh[0] == sh[1]
+    assert all(0 <= v < (1 << TX.SIMHASH_BITS) for v in sh.values())
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_duplicates(docs):
+    rows = DD.simhash_near_duplicates(docs, max_hamming=3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard_exact(docs):
+    rows = DD.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert got[(0, 1)] == 1.0
+    # docs 0 and 2 share 9 tokens with one substitution: 7 trigrams each,
+    # 4 shared -> jaccard 4/10
+    assert abs(got[(0, 2)] - 0.4) < 1e-9
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha")], "doc_id LONG, text STRING"
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(
+            TX.fingerprint_expr(TX.tokens_expr(F.col("text"))).alias("fp")
+        ).collect()
+    ]
+    assert fps[0] != fps[1]
+
+
+def test_lang_id_heuristic(docs):
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", TX.lang_id_expr(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    assert langs[5] == "unknown"
+
+
+def test_embedding_near_dup_block_matmul_matches_planted(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 200, 20)]  # planted twins
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_duplicates(emb, 0.99, n_blocks=4).collect()
+    }
+    assert {(i, 1000 + i) for i in range(0, 200, 20)} <= got
+    # random 16-d gaussians essentially never hit cos >= .99
+    assert len(got) == 10
