@@ -59,7 +59,9 @@ def main() -> None:
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     ).persist()
     n_vec = vectors.count()
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+    # every vector queries the index: QPS over a real batch (the
+    # reference's regime is 10k parallel queries, README.md:120-134)
+    queries = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     idx_path = os.path.join(tempfile.gettempdir(), "rds_bench_idx")
@@ -78,6 +80,16 @@ def main() -> None:
         "ann_search",
         lambda: idx.search_with_dists(queries, k=10, beam_width=128).count(),
     )
+
+    # quality + throughput vs BASELINE.md (recall@10 0.99971, 24,379 q/s)
+    from rust_diskann_spark.operators.exact import exact_knn
+
+    ann = idx.search_with_dists(queries, k=10, beam_width=128)
+    gt = exact_knn(queries, vectors, 10, "l2").select("query_id", "id")
+    n_q = queries.count()
+    hits = ann.join(gt, ["query_id", "id"]).count()
+    recall = hits / float(n_q * 10)
+    qps = round(n_q / timings["ann_search"], 1)
 
     qs = entry_mod.queries()
     bench_queries = [
@@ -113,6 +125,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ann_recall_at_10": round(recall, 5),
+                "ann_qps": qps,
+                "n_vectors": n_vec,
             }
         )
     )
