@@ -111,12 +111,33 @@ def _random_bootstrap(n: int, max_degree: int, slack: int, rng: np.random.Genera
     m = min(max_degree, n - 1)
     if m <= 0:
         return Graph(adj, deg)
-    for u in range(n):
-        # sample from 0..n-2 and shift to skip u — uniform without self
-        picks = rng.choice(n - 1, size=m, replace=False)
-        picks = np.where(picks >= u, picks + 1, picks)
-        adj[u, :m] = picks
-        deg[u] = m
+    if m * 2 >= n:
+        # dense shard: permutation-based exact sampling is fine
+        for u in range(n):
+            picks = rng.choice(n - 1, size=m, replace=False)
+            picks = np.where(picks >= u, picks + 1, picks)
+            adj[u, :m] = picks
+            deg[u] = m
+        return Graph(adj, deg)
+    # sparse case (m << n, the at-scale path): batched rejection sampling —
+    # rng.choice(replace=False) builds an O(n) permutation PER NODE, which
+    # is O(n^2) for a multi-million-row shard; drawing 2m ints and deduping
+    # succeeds for all but a vanishing fraction of nodes per round
+    pending = np.arange(n)
+    while len(pending):
+        draw = rng.integers(0, n - 1, size=(len(pending), 2 * m))
+        draw = np.where(draw >= pending[:, None], draw + 1, draw)
+        still: list[int] = []
+        for row, u in enumerate(pending):
+            # keep first occurrences in draw order (deterministic)
+            seen = dict.fromkeys(draw[row].tolist())
+            uniq = list(seen)[:m]
+            if len(uniq) < m:
+                still.append(u)
+                continue
+            adj[u, :m] = uniq
+            deg[u] = m
+        pending = np.array(still, dtype=np.int64)
     return Graph(adj, deg)
 
 

@@ -47,16 +47,38 @@ class DiskANNIndex:
         )
 
     def search_with_dists(
-        self, queries: DataFrame, k: int, beam_width: int = 64
+        self,
+        queries: DataFrame,
+        k: int,
+        beam_width: int = 64,
+        query_blocks: int | None = None,
     ) -> DataFrame:
-        """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist)."""
+        """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist).
+
+        ``query_blocks=None`` sizes task fan-out automatically: with few
+        shards the beam-search stage would otherwise run one task per
+        shard and idle the rest of the cluster, so queries split into
+        ``defaultParallelism // num_shards`` blocks (each block re-reads
+        its shard's cached tables — cheap relative to idle cores; pass
+        ``query_blocks=1`` to disable for tiny query sets).
+        """
+        if query_blocks is None:
+            par = self.spark.sparkContext.defaultParallelism
+            query_blocks = max(1, par // max(self.meta.num_shards, 1))
         return search_ops.search(
-            queries, self.vectors, self.graph, self.params, k, beam_width
+            queries, self.vectors, self.graph, self.params, k, beam_width,
+            query_blocks=query_blocks,
         )
 
-    def search(self, queries: DataFrame, k: int, beam_width: int = 64) -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        beam_width: int = 64,
+        query_blocks: int | None = None,
+    ) -> DataFrame:
         """Reference A8 (lib.rs:696-701): ids only."""
-        return self.search_with_dists(queries, k, beam_width).select(
+        return self.search_with_dists(queries, k, beam_width, query_blocks).select(
             "query_id", "rank", "id"
         )
 
