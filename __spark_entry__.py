@@ -444,6 +444,48 @@ def _minhash_pairs_oracle() -> str:
     """
 
 
+def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates verified by exact
+    n-gram Jaccard (the 100 TB scale path end-to-end)."""
+    res = DD.minhash_near_duplicates(_docs_with_dups(spark, sf_dir), threshold=0.5)
+    return res.select("doc_a", "doc_b", F.round("jaccard", RND).alias("jaccard"))
+
+
+def _minhash_verified_oracle() -> str:
+    toks = TX.sql_tokens("text")
+    sig = TX.sql_minhash_signature(TX.sql_word_ngrams(toks, 3))
+    keys = TX.sql_lsh_band_keys("signature")
+    sh = f"list_distinct({TX.sql_word_ngrams(toks, 3)})"
+    return f"""
+        with d as ({_DOCS_WITH_DUPS_SQL}),
+        sigs as (select doc_id, {sig} as signature from d where len({toks}) >= 3),
+        bands as (
+          select doc_id, u.band - 1 as band, keys[u.band] as band_key
+          from (select doc_id, {keys} as keys from sigs),
+               lateral unnest(generate_series(1, {TX.LSH_BANDS})) as u(band)
+        ),
+        cand as (
+          select distinct a.doc_id as doc_a, b.doc_id as doc_b
+          from bands a join bands b
+            on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id
+        ),
+        sets as (select doc_id, {sh} as shingles from d),
+        scored as (
+          select c.doc_a, c.doc_b,
+                 len(list_intersect(sa.shingles, sb.shingles))::double
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))) as jaccard
+          from cand c
+          join sets sa on sa.doc_id = c.doc_a
+          join sets sb on sb.doc_id = c.doc_b
+          where len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles)) > 0
+        )
+        select doc_a, doc_b, round(jaccard, {RND}) as jaccard
+        from scored where jaccard >= 0.5
+    """
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = DD.ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), JACCARD_TAU)
     return res.select("doc_a", "doc_b", F.round("jaccard", RND).alias("jaccard"))
@@ -842,6 +884,115 @@ def _top_suppliers_oracle() -> str:
     """
 
 
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: revenue of unshipped orders for one segment —
+    3-way join (broadcast dims) + agg + top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "2000-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "2000-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            # orderdate is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _shipping_priority_oracle() -> str:
+    return """
+        select l.l_orderkey, epoch_us(o.o_orderdate) as o_orderdate_us,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) as revenue
+        from lineitem l
+        join orders o on l.l_orderkey = o.o_orderkey
+        join customer c on o.o_custkey = c.c_custkey
+        where c.c_mktsegment = 'BUILDING'
+          and o.o_orderdate < timestamp '2000-01-01'
+          and l.l_shipdate > timestamp '2000-01-01'
+        group by 1, 2
+        order by revenue desc, l_orderkey
+        limit 10
+    """
+
+
+def _local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-table join; revenue where supplier and customer
+    share a nation, rolled up per region/nation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _local_supplier_volume_oracle() -> str:
+    return """
+        select r.r_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) as revenue,
+               count(*) as n_items
+        from lineitem l
+        join orders o on l.l_orderkey = o.o_orderkey
+        join supplier s on l.l_suppkey = s.s_suppkey
+        join customer c on o.o_custkey = c.c_custkey
+        join nation n on s.s_nationkey = n.n_nationkey
+        join region r on n.n_regionkey = r.r_regionkey
+        where c.c_nationkey = s.s_nationkey
+        group by 1, 2
+    """
+
+
+def _part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup: demand and pricing per brand."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+def _part_brand_stats_oracle() -> str:
+    return """
+        select p.p_brand, count(*) as n_items,
+               round(sum(l.l_quantity), 4) as sum_qty,
+               round(avg(p.p_retailprice), 4) as avg_retail,
+               count(distinct l.l_partkey) as n_parts
+        from lineitem l join part p on l.l_partkey = p.p_partkey
+        group by 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -872,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_sigs,
         "minhash_lsh_pairs": _minhash_pairs,
+        "minhash_verified_pairs": _minhash_verified,
         "ngram_jaccard_pairs": _jaccard_pairs,
         "simhash_signatures": _simhash_sigs,
         "simhash_near_dups": _simhash_pairs,
@@ -894,6 +1046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational closure demos
         "pricing_summary": _pricing_summary,
         "top_suppliers_per_nation": _top_suppliers,
+        "shipping_priority": _shipping_priority,
+        "local_supplier_volume": _local_supplier_volume,
+        "part_brand_stats": _part_brand_stats,
     }
 
 
@@ -914,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dedup_exact_oracle(),
         "minhash_signatures": _minhash_sigs_oracle(),
         "minhash_lsh_pairs": _minhash_pairs_oracle(),
+        "minhash_verified_pairs": _minhash_verified_oracle(),
         "ngram_jaccard_pairs": _jaccard_pairs_oracle(),
         "simhash_signatures": _simhash_sigs_oracle(),
         "simhash_near_dups": _simhash_pairs_oracle(),
@@ -932,4 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_agg": _windowed_agg_oracle(),
         "pricing_summary": _pricing_summary_oracle(),
         "top_suppliers_per_nation": _top_suppliers_oracle(),
+        "shipping_priority": _shipping_priority_oracle(),
+        "local_supplier_volume": _local_supplier_volume_oracle(),
+        "part_brand_stats": _part_brand_stats_oracle(),
     }
