@@ -93,3 +93,35 @@ def test_ids_only_projection(spark, tmp_path):
     res = idx.search(q, k=2, beam_width=8)
     assert res.columns == ["query_id", "rank", "id"]
     assert [r["id"] for r in res.orderBy("rank").collect()] == [0, 2]
+
+
+def test_hamming_index_end_to_end(spark, tmp_path):
+    """Hamming metric (reference u64 bit-pattern vectors, lib.rs:22-29):
+    build + search on packed sign-bit words, recall vs the exact oracle."""
+    rng = np.random.default_rng(11)
+    words = rng.integers(0, 1 << 62, size=(200, 2), dtype=np.int64)
+    df = spark.createDataFrame(
+        [(i, words[i].tolist()) for i in range(200)], "id long, vec array<long>"
+    )
+    idx = build_index(
+        df,
+        str(tmp_path / "hidx"),
+        metric="hamming",
+        max_degree=16,
+        build_beam_width=32,
+        num_shards=2,
+        seed=5,
+    )
+    assert idx.meta.elem_type == "long"
+    q = spark.createDataFrame(
+        [(i, words[i].tolist()) for i in range(0, 200, 20)],
+        "query_id long, qvec array<long>",
+    )
+    res = idx.search_with_dists(q, k=5, beam_width=64)
+    gt = exact_knn(q, df, 5, "hamming")
+    hits = res.join(gt.select("query_id", "id"), ["query_id", "id"]).count()
+    assert hits / gt.count() >= 0.9
+    # self-query must return itself at distance 0
+    top = {r["query_id"]: r for r in res.filter(F.col("rank") == 1).collect()}
+    for qid, r in top.items():
+        assert r["id"] == qid and r["dist"] == 0.0
