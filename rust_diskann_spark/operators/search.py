@@ -134,3 +134,88 @@ def search_ids(*args, **kwargs) -> DataFrame:
     """Ids-only projection (reference A8 ``search``, lib.rs:696-701).
     Catalyst prunes the dist column out of the merge."""
     return search(*args, **kwargs).select("query_id", "rank", "id")
+
+
+def broadcast_search(
+    queries: DataFrame,
+    index_vectors: DataFrame,
+    index_graph: DataFrame,
+    params: IndexParams,
+    k: int,
+    beam_width: int = 64,
+) -> DataFrame:
+    """ZERO-shuffle search for indexes that fit executor memory.
+
+    The dual of :func:`search`, mirroring Spark's broadcast-join vs
+    shuffle-join choice: the whole index (all shards' vectors + graphs)
+    is a Spark broadcast variable; queries run through one narrow
+    ``mapInPandas`` where each Arrow batch beam-searches every shard and
+    finalizes its own global top-k — no cogroup shuffle of the corpus, no
+    per-query-block index replication, no merge exchange. This is the
+    regime the reference actually benchmarks (a SIFT1M index resident in
+    RAM, queried by a parallel batch — README.md:120-134); use the
+    cogrouped :func:`search` when the index exceeds
+    ``IndexParams.broadcast_threshold_bytes``.
+    """
+    spark = queries.sparkSession
+    metric = params.metric
+    dtype = np.int64 if metric == "hamming" else np.float32
+
+    side = index_vectors.join(
+        index_graph.select("shard", "id", "neighbors", "medoid"), ["shard", "id"]
+    )
+    shards: dict[int, tuple] = {}
+    for shard_id, pdf in side.toPandas().groupby("shard"):
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        gids = pdf["id"].to_numpy()
+        pos = {int(g): i for i, g in enumerate(gids)}
+        mat = np.asarray(pdf["vec"].tolist(), dtype=dtype)
+        lists = [[pos[int(g)] for g in nbrs] for nbrs in pdf["neighbors"]]
+        graph = vamana.graph_from_lists(lists, max_degree=1)
+        medoid_local = pos[int(pdf["medoid"].iloc[0])]
+        shards[int(shard_id)] = (gids, mat, graph, medoid_local)
+    bc = spark.sparkContext.broadcast(shards)
+
+    def run(batches):
+        local = bc.value
+        for q_pdf in batches:
+            if len(q_pdf) == 0:
+                continue
+            out_q, out_r, out_i, out_d = [], [], [], []
+            for qid, qvec in zip(q_pdf["query_id"], q_pdf["qvec"]):
+                qarr = np.asarray(qvec, dtype=dtype)
+                cand: list[tuple[float, int]] = []
+                for gids, mat, graph, medoid_local in local.values():
+                    if len(qarr) != mat.shape[1]:
+                        raise ValueError(
+                            f"query dimension mismatch: index dim {mat.shape[1]}, "
+                            f"query dim {len(qarr)} (reference lib.rs:636-641)"
+                        )
+                    ids, dists = vamana.beam_search(
+                        mat, graph, metric, medoid_local, qarr,
+                        max(k, beam_width), beam_width,
+                    )
+                    cand.extend(zip(dists.tolist(), gids[ids].tolist()))
+                cand.sort()  # (dist, id) — reference Candidate ordering
+                for rank, (d, i) in enumerate(cand[:k], start=1):
+                    out_q.append(int(qid))
+                    out_r.append(rank)
+                    out_i.append(int(i))
+                    out_d.append(float(d))
+            yield pd.DataFrame(
+                {"query_id": out_q, "rank": out_r, "id": out_i, "dist": out_d}
+            ).astype(
+                {"query_id": "int64", "rank": "int32", "id": "int64", "dist": "float64"}
+            )
+
+    q = queries.select(
+        F.col("query_id").cast("long").alias("query_id"), F.col("qvec")
+    )
+    # fan the (tiny) query side out to the whole cluster — a round-robin
+    # exchange of queries only; the corpus itself still never shuffles
+    par = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < par:
+        q = q.repartition(par)
+    return q.mapInPandas(
+        run, "query_id BIGINT, rank INT, id BIGINT, dist DOUBLE"
+    )

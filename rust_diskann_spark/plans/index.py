@@ -18,6 +18,10 @@ from rust_diskann_spark.operators import search as search_ops
 from rust_diskann_spark.params import IndexParams
 from rust_diskann_spark.sources import index_store, vectors as vector_src
 
+# index footprint (bytes) below which search broadcasts the whole index
+# instead of cogrouping per shard — analogous to autoBroadcastJoinThreshold
+BROADCAST_INDEX_THRESHOLD = 256 << 20
+
 
 @dataclass
 class DiskANNIndex:
@@ -55,13 +59,27 @@ class DiskANNIndex:
     ) -> DataFrame:
         """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist).
 
-        ``query_blocks=None`` sizes task fan-out automatically: with few
-        shards the beam-search stage would otherwise run one task per
-        shard and idle the rest of the cluster, so queries split into
-        ``defaultParallelism // num_shards`` blocks (each block re-reads
-        its shard's cached tables — cheap relative to idle cores; pass
-        ``query_blocks=1`` to disable for tiny query sets).
+        Physical strategy (the broadcast-join vs shuffle-join analogy):
+
+        - **broadcast mode** when the estimated index footprint
+          ``n * (elem_size*dim + 4*max_degree)`` fits
+          ``BROADCAST_INDEX_THRESHOLD`` bytes: the whole index ships as a
+          broadcast variable and search is ONE narrow mapInPandas over
+          queries — zero shuffles (the reference's own regime: a
+          RAM-resident index, parallel query batch, README.md:120-134).
+        - **cogrouped mode** otherwise: per-shard tasks + windowed top-k
+          merge (the 100 TB path; shuffle carries O(q*k*shards) rows).
+          ``query_blocks=None`` sizes task fan-out to
+          ``defaultParallelism // num_shards`` so few-shard indexes still
+          use the whole cluster; pass ``query_blocks=1`` to disable.
         """
+        m = self.meta
+        elem = 8 if m.elem_type == "long" else 4
+        est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
+        if est_bytes <= BROADCAST_INDEX_THRESHOLD:
+            return search_ops.broadcast_search(
+                queries, self.vectors, self.graph, self.params, k, beam_width
+            )
         if query_blocks is None:
             par = self.spark.sparkContext.defaultParallelism
             query_blocks = max(1, par // max(self.meta.num_shards, 1))

@@ -125,3 +125,36 @@ def test_hamming_index_end_to_end(spark, tmp_path):
     top = {r["query_id"]: r for r in res.filter(F.col("rank") == 1).collect()}
     for qid, r in top.items():
         assert r["id"] == qid and r["dist"] == 0.0
+
+
+def test_broadcast_and_cogroup_search_agree(spark, tmp_path):
+    """The two physical search strategies (broadcast index vs cogrouped
+    shards) are alternative plans for the same logical query — results
+    must match row-for-row."""
+    from rust_diskann_spark.operators import search as search_ops
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((300, 8)).astype(np.float32)
+    df = _vec_df(spark, [(i, mat[i].tolist()) for i in range(300)])
+    idx = build_index(
+        df, str(tmp_path / "bidx"),
+        max_degree=16, build_beam_width=32, num_shards=3, seed=2,
+    )
+    q = _vec_df(spark, [(i, mat[i].tolist()) for i in range(0, 300, 30)]).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    via_bc = search_ops.broadcast_search(
+        q, idx.vectors, idx.graph, idx.params, k=5, beam_width=32
+    )
+    via_cg = search_ops.search(
+        q, idx.vectors, idx.graph, idx.params, k=5, beam_width=32
+    )
+    rows_bc = sorted(map(tuple, via_bc.collect()))
+    rows_cg = sorted(map(tuple, via_cg.collect()))
+    assert [r[:3] for r in rows_bc] == [r[:3] for r in rows_cg]
+    for a, b in zip(rows_bc, rows_cg):
+        assert abs(a[3] - b[3]) < 1e-9
+    # the corpus never shuffles in the broadcast plan (only the tiny query
+    # side may round-robin to fan out across the cluster)
+    plan = via_bc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
