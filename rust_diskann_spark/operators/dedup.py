@@ -64,13 +64,69 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, use_arrow: bool = True
+) -> DataFrame:
     """(doc_id, signature ARRAY<BIGINT>): MinHash over word n-gram shingles.
-    Narrow (no shuffle) and codegen'd — per-row cost only."""
-    shingles = TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n)
-    return docs.select(
-        "doc_id", TX.minhash_signature_expr(shingles).alias("signature")
-    ).filter(F.size(TX.tokens_expr(F.col(text_col))) >= n)
+    Narrow (no shuffle); docs with fewer than ``n`` tokens are dropped.
+
+    Two physical paths, byte-identical outputs (both derive every value
+    from the same md5-reduction constants in functions/text.py; the
+    DuckDB oracle pins them):
+
+    - ``use_arrow=True`` (default): mapInPandas — C md5 via hashlib plus
+      one numpy (perms x shingles) matrix per doc. Hashing is inherently
+      scalar work, and the JVM expression path pays per-shingle codegen
+      overhead ~4x this.
+    - ``use_arrow=False``: pure Column expressions (whole-stage codegen,
+      no Python) — the fallback when an Arrow-less environment matters.
+    """
+    if not use_arrow:
+        shingles = TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n)
+        return docs.select(
+            "doc_id", TX.minhash_signature_expr(shingles).alias("signature")
+        ).filter(F.size(TX.tokens_expr(F.col(text_col))) >= n)
+
+    import hashlib
+    import re
+
+    # ASCII \s to match Spark/Java's regex semantics (Java \s is ASCII-only)
+    ws = re.compile(r"\s+", re.ASCII)
+    A = np.array(TX.MINHASH_A, dtype=np.int64)[:, None]
+    B = np.array(TX.MINHASH_B, dtype=np.int64)[:, None]
+    P = TX.HASH_P
+
+    def fn(batches):
+        for pdf in batches:
+            out_id, out_sig = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").lower()) if t]
+                if len(toks) < n:
+                    continue
+                h = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(
+                                " ".join(toks[i : i + n]).encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % P
+                        for i in range(len(toks) - n + 1)
+                    ),
+                    dtype=np.int64,
+                )
+                out_id.append(int(doc_id))
+                out_sig.append(((A * h[None, :] + B) % P).min(axis=1))
+            yield pd.DataFrame({"doc_id": out_id, "signature": out_sig})
+
+    src = docs.select("doc_id", text_col)
+    # small single-file inputs arrive as 1-2 partitions; fan the scalar
+    # hash work across the cluster (tiny round-robin shuffle of raw text)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(fn, "doc_id BIGINT, signature ARRAY<BIGINT>")
 
 
 def minhash_candidate_pairs(
@@ -105,6 +161,12 @@ def minhash_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # explicit fan-out before the explode: bucket rows are tiny but each
+    # fans out to |bucket|^2/2 pairs — AQE's coalescing only sees the
+    # pre-explode bytes and would serialize the expansion onto one task
+    buckets = buckets.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     combos = F.flatten(
         F.transform(
             "ids",
@@ -212,11 +274,61 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash BIGINT): SIMHASH_BITS-bit SimHash per document."""
-    return docs.select(
-        "doc_id", TX.simhash_expr(TX.tokens_expr(F.col(text_col))).alias("simhash")
-    )
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", use_arrow: bool = True
+) -> DataFrame:
+    """(doc_id, simhash BIGINT): SIMHASH_BITS-bit SimHash per document.
+    Same dual-path scheme as :func:`minhash_signatures` — byte-identical
+    outputs, DuckDB-oracle-pinned."""
+    if not use_arrow:
+        return docs.select(
+            "doc_id", TX.simhash_expr(TX.tokens_expr(F.col(text_col))).alias("simhash")
+        )
+
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    HALF = TX.SIMHASH_HALF
+    BITS = TX.SIMHASH_BITS
+    MASK = (1 << HALF) - 1
+    pows = 1 << np.arange(BITS, dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            out_id, out_sh = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = dict.fromkeys(
+                    t for t in ws.split((text or "").lower()) if t
+                )  # distinct, first-seen order
+                if not toks:
+                    out_id.append(int(doc_id))
+                    out_sh.append(0)
+                    continue
+                digs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+                h1 = np.fromiter(
+                    (int(d[:8], 16) & MASK for d in digs), dtype=np.int64
+                )
+                h2 = np.fromiter(
+                    (int(d[8:16], 16) & MASK for d in digs), dtype=np.int64
+                )
+                bits = np.concatenate(
+                    [
+                        (h1[:, None] >> np.arange(HALF)) & 1,
+                        (h2[:, None] >> np.arange(HALF)) & 1,
+                    ],
+                    axis=1,
+                )  # (n_tokens, BITS)
+                counts = (bits * 2 - 1).sum(axis=0)
+                out_id.append(int(doc_id))
+                out_sh.append(int(pows[counts > 0].sum()))
+            yield pd.DataFrame({"doc_id": out_id, "simhash": out_sh})
+
+    src = docs.select("doc_id", text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(fn, "doc_id BIGINT, simhash BIGINT")
 
 
 def simhash_near_duplicates(
@@ -254,6 +366,11 @@ def simhash_near_duplicates(
             F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
         )
         .filter(F.size("ds") >= 2)
+    )
+    # same AQE-coalescing countermeasure as minhash_candidate_pairs: the
+    # pair expansion happens after this exchange, invisible to AQE sizing
+    buckets = buckets.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
     )
     combos = F.flatten(
         F.transform(
