@@ -75,6 +75,38 @@ def _dist_batch(metric: str, q: np.ndarray, m: np.ndarray) -> np.ndarray:
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
+def sq_norms(vectors: np.ndarray) -> np.ndarray:
+    """Per-row squared norms in float64 — precomputed once per shard so the
+    l2 hot loop runs as one BLAS matvec per expansion (||x||^2 - 2x.y +
+    ||y||^2) instead of materializing difference matrices."""
+    return np.einsum("ij,ij->i", vectors, vectors, dtype=np.float64)
+
+
+def _make_dist_ids(
+    metric: str,
+    vectors: np.ndarray,
+    query: np.ndarray,
+    sqnorms: np.ndarray | None,
+):
+    """Distance evaluator ``fn(ids) -> float64 dists`` for one fixed query.
+    l2 with precomputed norms is the fast path; everything else falls back
+    to the generic batch kernel."""
+    if metric == "l2" and sqnorms is not None:
+        q64 = np.asarray(query, dtype=np.float64)
+        qq = float(q64 @ q64)
+
+        def fn(ids: np.ndarray) -> np.ndarray:
+            d2 = sqnorms[ids] - 2.0 * (vectors[ids] @ q64) + qq
+            return np.sqrt(np.maximum(d2, 0.0))
+
+        return fn
+
+    def fn(ids: np.ndarray) -> np.ndarray:
+        return _dist_batch(metric, query, vectors[ids])
+
+    return fn
+
+
 def calculate_medoid(vectors: np.ndarray, metric: str, seed: int) -> int:
     """Approximate medoid (reference lib.rs:736-756): sample
     ``MEDOID_SAMPLE_K`` pivots, score every vector by its summed distance to
@@ -149,6 +181,7 @@ def greedy_search(
     seeds: list[int],
     beam_width: int,
     collect_visited: bool,
+    sqnorms: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Best-first beam search (reference lib.rs:635-693 query path;
     lib.rs:1140-1198 build path when ``collect_visited``).
@@ -169,16 +202,19 @@ def greedy_search(
     # working set as max-heap via negated dist: (-dist, -id) so the worst
     # (largest dist, then largest id — Candidate cmp, lib.rs:150-163) pops first
     w: list[tuple[float, int]] = []
-    visited_out: list[tuple[float, int]] = []
+    visited_ids: list[int] = []
+    visited_ds: list[float] = []
 
+    dist_ids = _make_dist_ids(metric, vectors, query, sqnorms)
     seed_ids = np.array(sorted(set(int(s) for s in seeds)), dtype=np.int64)
-    seed_dists = _dist_batch(metric, query, vectors[seed_ids])
+    seed_dists = dist_ids(seed_ids)
     for sid, sd in zip(seed_ids, seed_dists):
         visited[sid] = True
         heapq.heappush(frontier, (float(sd), int(sid)))
         _admit(w, float(sd), int(sid), beam_width)
         if collect_visited:
-            visited_out.append((float(sd), int(sid)))
+            visited_ids.append(int(sid))
+            visited_ds.append(float(sd))
 
     while frontier:
         best_d, best_id = heapq.heappop(frontier)
@@ -191,9 +227,10 @@ def greedy_search(
         if len(fresh) == 0:
             continue
         visited[fresh] = True
-        dists = _dist_batch(metric, query, vectors[fresh])
+        dists = dist_ids(fresh)
         if collect_visited:
-            visited_out.extend(zip(dists.tolist(), fresh.tolist()))
+            visited_ids.extend(fresh.tolist())
+            visited_ds.extend(dists.tolist())
         if len(w) >= beam_width:
             # admission requires nd < current worst; worst only shrinks as
             # we admit, so pre-filtering against the batch-entry worst is
@@ -206,10 +243,10 @@ def greedy_search(
                 _admit(w, nd, nid, beam_width)
 
     if collect_visited:
-        arr = np.array(visited_out, dtype=np.float64)
-        ids = arr[:, 1].astype(np.int64)
-        ds = arr[:, 0]
-        return ids, ds
+        return (
+            np.array(visited_ids, dtype=np.int64),
+            np.array(visited_ds, dtype=np.float64),
+        )
     # w items are (-dist, -id); flip back and sort (dist asc, id asc)
     pairs = sorted((-nd, -ni) for nd, ni in w)
     ids = np.array([i for _, i in pairs], dtype=np.int64)
@@ -243,6 +280,7 @@ def robust_prune(
     metric: str,
     max_degree: int,
     alpha: float,
+    sqnorms: np.ndarray | None = None,
 ) -> np.ndarray:
     """Alpha-RNG pruning (reference lib.rs:1201-1279).
 
@@ -266,6 +304,31 @@ def robust_prune(
     # the phase-2 backfill pool come out in the reference's order.
     m = len(ids)
     cvecs = vectors[ids]
+    dmat: np.ndarray | None = None
+    if metric == "l2" and sqnorms is not None:
+        c64 = cvecs.astype(np.float64, copy=False)
+        sqc = sqnorms[ids]
+        if m <= 1024:
+            # one GEMM for the whole pairwise matrix beats <=max_degree
+            # matvec calls (call overhead dominates at these sizes);
+            # capped so huge candidate pools don't allocate O(m^2)
+            d2 = sqc[:, None] - 2.0 * (c64 @ c64.T) + sqc[None, :]
+            dmat = np.sqrt(np.maximum(d2, 0.0))
+
+            def d_to(i: int) -> np.ndarray:
+                return dmat[i]
+
+        else:
+
+            def d_to(i: int) -> np.ndarray:
+                d2 = sqc - 2.0 * (c64 @ c64[i]) + sqc[i]
+                return np.sqrt(np.maximum(d2, 0.0))
+
+    else:
+
+        def d_to(i: int) -> np.ndarray:
+            return _dist_batch(metric, cvecs[i], cvecs)
+
     status = np.zeros(m, dtype=np.int8)
     selected: list[int] = []
     for i in range(m):
@@ -275,8 +338,7 @@ def robust_prune(
             break
         status[i] = 1
         selected.append(int(ids[i]))
-        d_si = _dist_batch(metric, cvecs[i], cvecs)
-        occ = (alpha * d_si <= dists) & (status == 0)
+        occ = (alpha * d_to(i) <= dists) & (status == 0)
         status[occ] = -1
 
     if len(selected) < max_degree:
@@ -299,6 +361,7 @@ def build_vamana(vectors: np.ndarray, params: IndexParams, seed: int) -> tuple[G
     graph = _random_bootstrap(n, params.max_degree, slack, rng)
     if n <= 1:
         return graph, medoid
+    sqn = sq_norms(vectors) if params.metric == "l2" else None
 
     for pass_idx in range(params.passes):
         # alpha schedule (lib.rs:1014-1020): first of multiple passes uses 1.0
@@ -315,30 +378,31 @@ def build_vamana(vectors: np.ndarray, params: IndexParams, seed: int) -> tuple[G
                     seeds.append(int(rng.integers(0, n)))
                 v_ids, v_dists = greedy_search(
                     vectors, graph, params.metric, vectors[u], seeds,
-                    params.build_beam_width, collect_visited=True,
+                    params.build_beam_width, collect_visited=True, sqnorms=sqn,
                 )
                 # candidate pool = visited + current neighbors (lib.rs:1034-1071)
                 cur = graph.neighbors(u).astype(np.int64)
                 if len(cur):
-                    cur_d = _dist_batch(params.metric, vectors[u], vectors[cur])
+                    cur_d = _make_dist_ids(params.metric, vectors, vectors[u], sqn)(cur)
                     v_ids = np.concatenate([v_ids, cur])
                     v_dists = np.concatenate([v_dists, cur_d])
                 pruned = robust_prune(
                     int(u), v_ids, v_dists, vectors, params.metric,
-                    params.max_degree, alpha,
+                    params.max_degree, alpha, sqnorms=sqn,
                 )
                 new_lists.append((int(u), pruned))
             # --- sequential merge: commit + reverse edges + slack re-prune
             # (lib.rs:784-914)
-            _merge_chunk(graph, new_lists, vectors, params, alpha)
+            _merge_chunk(graph, new_lists, vectors, params, alpha, sqn)
 
     # final degree-enforcement sweep (lib.rs:1111-1132)
     for u in range(n):
         if graph.deg[u] > params.max_degree:
             nbrs = graph.neighbors(u).astype(np.int64)
-            d = _dist_batch(params.metric, vectors[u], vectors[nbrs])
+            d = _make_dist_ids(params.metric, vectors, vectors[u], sqn)(nbrs)
             pruned = robust_prune(
-                u, nbrs, d, vectors, params.metric, params.max_degree, params.alpha
+                u, nbrs, d, vectors, params.metric, params.max_degree,
+                params.alpha, sqnorms=sqn,
             )
             _set_neighbors(graph, u, pruned)
     return graph, medoid
@@ -357,6 +421,7 @@ def _merge_chunk(
     vectors: np.ndarray,
     params: IndexParams,
     alpha: float,
+    sqnorms: np.ndarray | None = None,
 ) -> None:
     """Commit chunk out-lists, scatter reverse edges, re-prune any node whose
     list exceeds the slack limit (reference lib.rs:784-914)."""
@@ -379,9 +444,10 @@ def _merge_chunk(
                 touched.add(v)
     for v in touched:
         nbrs = graph.neighbors(v).astype(np.int64)
-        d = _dist_batch(params.metric, vectors[v], vectors[nbrs])
+        d = _make_dist_ids(params.metric, vectors, vectors[v], sqnorms)(nbrs)
         pruned = robust_prune(
-            v, nbrs, d, vectors, params.metric, params.max_degree, alpha
+            v, nbrs, d, vectors, params.metric, params.max_degree, alpha,
+            sqnorms=sqnorms,
         )
         _set_neighbors(graph, v, pruned)
 
@@ -394,12 +460,15 @@ def beam_search(
     query: np.ndarray,
     k: int,
     beam_width: int,
+    sqnorms: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Query-time top-k (reference lib.rs:635-693): beam search from the
-    medoid, then sort by (dist, id) and truncate to k."""
+    medoid, then sort by (dist, id) and truncate to k. Callers with many
+    queries should pass ``sqnorms=sq_norms(vectors)`` computed once."""
     beam = max(beam_width, k)
     ids, dists = greedy_search(
-        vectors, graph, metric, query, [medoid], beam, collect_visited=False
+        vectors, graph, metric, query, [medoid], beam,
+        collect_visited=False, sqnorms=sqnorms,
     )
     return ids[:k], dists[:k]
 

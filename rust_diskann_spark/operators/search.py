@@ -103,11 +103,13 @@ def search(
         ]
         graph = vamana.graph_from_lists(lists, max_degree=1)
         medoid_local = pos[int(index_pdf["medoid"].iloc[0])]
+        sqn = vamana.sq_norms(mat) if metric == "l2" else None
         out_q, out_i, out_d = [], [], []
         for qid, qvec in zip(q_pdf["query_id"], q_pdf["qvec"]):
             ids, dists = vamana.beam_search(
                 mat, graph, metric, medoid_local,
                 np.asarray(qvec, dtype=dtype), per_shard_k, beam_width,
+                sqnorms=sqn,
             )
             out_q.extend([int(qid)] * len(ids))
             out_i.extend(gids[ids].tolist())
@@ -173,7 +175,8 @@ def broadcast_search(
         lists = [[pos[int(g)] for g in nbrs] for nbrs in pdf["neighbors"]]
         graph = vamana.graph_from_lists(lists, max_degree=1)
         medoid_local = pos[int(pdf["medoid"].iloc[0])]
-        shards[int(shard_id)] = (gids, mat, graph, medoid_local)
+        sqn = vamana.sq_norms(mat) if metric == "l2" else None
+        shards[int(shard_id)] = (gids, mat, graph, medoid_local, sqn)
     bc = spark.sparkContext.broadcast(shards)
 
     def run(batches):
@@ -185,7 +188,7 @@ def broadcast_search(
             for qid, qvec in zip(q_pdf["query_id"], q_pdf["qvec"]):
                 qarr = np.asarray(qvec, dtype=dtype)
                 cand: list[tuple[float, int]] = []
-                for gids, mat, graph, medoid_local in local.values():
+                for gids, mat, graph, medoid_local, sqn in local.values():
                     if len(qarr) != mat.shape[1]:
                         raise ValueError(
                             f"query dimension mismatch: index dim {mat.shape[1]}, "
@@ -193,7 +196,7 @@ def broadcast_search(
                         )
                     ids, dists = vamana.beam_search(
                         mat, graph, metric, medoid_local, qarr,
-                        max(k, beam_width), beam_width,
+                        max(k, beam_width), beam_width, sqnorms=sqn,
                     )
                     cand.extend(zip(dists.tolist(), gids[ids].tolist()))
                 cand.sort()  # (dist, id) — reference Candidate ordering
