@@ -1,0 +1,143 @@
+"""Scale demonstration against BASELINE.md's regime.
+
+The driver fixtures cap at 2,000 vectors (sf0.1); the reference's
+published numbers are for SIFT1M (1M x 128-d, M=64, L=128: build
+3,916.98 s ~ 255 vec/s; search 24,379 q/s at recall 0.99971 on Apple M4
+Max). This script synthesizes a deterministic N x 128-d corpus, runs the
+sharded build + broadcast/cogroup search on local[$SPARK_GRAFT_CPUS],
+and prints one JSON line with throughput + recall so rounds can be
+compared at a reference-comparable scale.
+
+Usage: python scripts/scale_demo.py [n_vectors] [n_queries]
+(defaults 100_000 / 2_000 — ~1/10th SIFT1M, linear to extrapolate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+Q = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+DIM = 128
+K = 10
+BEAM = 128
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("rust_diskann_spark-scale-demo")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "90g")
+        .config("spark.driver.maxResultSize", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rust_diskann_spark import IndexParams, build_index
+
+    # deterministic synthetic corpus: seeded per-column gaussians (JVM-side;
+    # randn(seed) is deterministic given the fixed range->repartition plan)
+    base = (
+        spark.range(N)
+        .repartition(int(CPUS))
+        .select(F.col("id"), F.array(*[F.randn(seed=i) for i in range(DIM)]).cast(
+            "array<float>").alias("vec"))
+        .persist()
+    )
+    base.count()
+
+    # shard count balances build parallelism (more shards = more tasks)
+    # against the per-query shard multiplier at search (every query scans
+    # k' from every shard — README.md:157); CPUS/2 is a good middle locally
+    n_shards = max(2, int(CPUS) // 2)
+    params = IndexParams(
+        max_degree=32, build_beam_width=64, num_shards=n_shards, seed=42
+    )
+    idx_path = os.path.join(tempfile.gettempdir(), "rds_scale_idx")
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    idx = build_index(base, idx_path, params)
+    build_s = time.perf_counter() - t0
+
+    queries = base.filter(F.col("id") % (N // Q) == 0).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    ).persist()
+    n_q = queries.count()
+
+    idx = idx.warm()
+    t0 = time.perf_counter()
+    res = idx.search_with_dists(queries, k=K, beam_width=BEAM)
+    res.count()
+    search_s = time.perf_counter() - t0
+
+    # recall vs exact GT on a query sample, computed driver-side with one
+    # numpy matmul (the SQL-fold exact path would evaluate n_q*N pairs —
+    # fine as an oracle at fixture scale, pointless for a perf demo)
+    import numpy as np
+
+    n_gt = min(200, n_q)
+    base_pd = base.toPandas().sort_values("id")
+    ids = base_pd["id"].to_numpy()
+    mat = np.stack(base_pd["vec"].to_numpy()).astype(np.float64)
+    q_rows = queries.limit(n_gt).toPandas()
+    qmat = np.stack(q_rows["qvec"].to_numpy()).astype(np.float64)
+    d2 = (
+        (qmat * qmat).sum(1)[:, None]
+        - 2.0 * (qmat @ mat.T)
+        + (mat * mat).sum(1)[None, :]
+    )
+    gt_sets = {
+        int(q_rows["query_id"].iloc[i]): set(
+            ids[np.argsort(d2[i], kind="stable")[:K]].tolist()
+        )
+        for i in range(n_gt)
+    }
+    got = (
+        res.filter(F.col("query_id").isin(list(gt_sets)))
+        .select("query_id", "id")
+        .collect()
+    )
+    hits = sum(1 for r in got if int(r["id"]) in gt_sets[int(r["query_id"])])
+    recall = hits / float(n_gt * K)
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_demo",
+                "n_vectors": N,
+                "dim": DIM,
+                "n_queries": n_q,
+                "build_sec": round(build_s, 2),
+                "build_vecs_per_sec": round(N / build_s, 1),
+                "search_sec": round(search_s, 2),
+                "search_qps": round(n_q / search_s, 1),
+                "recall_at_10": round(recall, 5),
+                "beam_width": BEAM,
+                "params": {"max_degree": 32, "build_beam_width": 64,
+                           "num_shards": n_shards},
+                "baseline_sift1m": {"build_vecs_per_sec": 255.3,
+                                    "search_qps": 24379, "recall_at_10": 0.99971},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
