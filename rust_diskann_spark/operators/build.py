@@ -41,10 +41,46 @@ from rust_diskann_spark.params import IndexParams
 GRAPH_SCHEMA = "shard INT, id BIGINT, neighbors ARRAY<BIGINT>, medoid BIGINT"
 
 
-def assign_shards(vectors: DataFrame, num_shards: int) -> DataFrame:
-    """Deterministic shard assignment on the dense id (reference A11)."""
-    return vectors.withColumn(
-        "shard", (F.col("id") % F.lit(num_shards)).cast("int")
+def assign_shards(
+    vectors: DataFrame, num_shards: int, shard_by: str = "hash",
+    metric: str = "l2", seed: int = 42,
+) -> DataFrame:
+    """Deterministic shard assignment (reference A11).
+
+    ``hash``: dense-id modulo — uniform shards, every shard samples the
+    whole space (the README.md:157 equivalence regime).
+    ``kmeans``: locality shards via seeded k-means cells (operators/ivf)
+    — uneven but spatially coherent, enabling medoid-routed probing at
+    search (``shard_probes``).
+    """
+    if shard_by == "hash":
+        return vectors.withColumn(
+            "shard", (F.col("id") % F.lit(num_shards)).cast("int")
+        )
+    if metric == "hamming":
+        raise ValueError("kmeans sharding requires a float metric (l2/cosine/dot)")
+    from rust_diskann_spark.functions.distance import numpy_distance_matrix
+    from rust_diskann_spark.operators import ivf
+
+    cents = ivf.kmeans_centroids(vectors, num_shards, metric=metric, iters=2, seed=seed)
+    vec_type = vectors.schema["vec"].dataType.simpleString()
+
+    def assign_fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            d = numpy_distance_matrix(metric, mat, cents)
+            yield pd.DataFrame(
+                {
+                    "shard": d.argmin(axis=1).astype(np.int32),
+                    "id": pdf["id"],
+                    "vec": pdf["vec"],
+                }
+            )
+
+    return vectors.select("id", "vec").mapInPandas(
+        assign_fn, f"shard INT, id BIGINT, vec {vec_type}"
     )
 
 
@@ -55,7 +91,9 @@ def build_graph(vectors: DataFrame, params: IndexParams) -> DataFrame:
     executor boundary. Deterministic for a fixed ``params.seed``.
     """
     if "shard" not in vectors.columns:
-        vectors = assign_shards(vectors, params.num_shards)
+        vectors = assign_shards(
+            vectors, params.num_shards, params.shard_by, params.metric, params.seed
+        )
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)

@@ -145,6 +145,7 @@ def broadcast_search(
     params: IndexParams,
     k: int,
     beam_width: int = 64,
+    shard_probes: int | None = None,
 ) -> DataFrame:
     """ZERO-shuffle search for indexes that fit executor memory.
 
@@ -156,8 +157,14 @@ def broadcast_search(
     per-query-block index replication, no merge exchange. This is the
     regime the reference actually benchmarks (a SIFT1M index resident in
     RAM, queried by a parallel batch — README.md:120-134); use the
-    cogrouped :func:`search` when the index exceeds
-    ``IndexParams.broadcast_threshold_bytes``.
+    cogrouped :func:`search` when the index exceeds the broadcast
+    threshold.
+
+    ``shard_probes``: search only the p shards whose medoid is nearest
+    the query (IVF-style routing over the Vamana shards). ``None`` scans
+    every shard — the exact shard-and-merge semantics (README.md:157);
+    fewer probes trade recall for a proportional QPS gain, the knob that
+    matters when num_shards is large.
     """
     spark = queries.sparkSession
     metric = params.metric
@@ -187,8 +194,20 @@ def broadcast_search(
             out_q, out_r, out_i, out_d = [], [], [], []
             for qid, qvec in zip(q_pdf["query_id"], q_pdf["qvec"]):
                 qarr = np.asarray(qvec, dtype=dtype)
+                shard_list = list(local.values())
+                if shard_probes is not None and shard_probes < len(shard_list):
+                    med_d = np.array(
+                        [
+                            vamana._dist_batch(
+                                metric, qarr, s[1][s[3] : s[3] + 1]
+                            )[0]
+                            for s in shard_list
+                        ]
+                    )
+                    order = np.argsort(med_d, kind="stable")[:shard_probes]
+                    shard_list = [shard_list[i] for i in order]
                 cand: list[tuple[float, int]] = []
-                for gids, mat, graph, medoid_local, sqn in local.values():
+                for gids, mat, graph, medoid_local, sqn in shard_list:
                     if len(qarr) != mat.shape[1]:
                         raise ValueError(
                             f"query dimension mismatch: index dim {mat.shape[1]}, "

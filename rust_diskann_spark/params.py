@@ -43,6 +43,12 @@ class IndexParams:
     metric: str = "l2"
     seed: int = 42
     num_shards: int = 1
+    # "hash": uniform id-hash shards — every shard samples the whole space;
+    #   searches must scan all shards (README.md:157 equivalence).
+    # "kmeans": locality shards around seeded k-means centroids — enables
+    #   IVF-style shard routing (search_with_dists(shard_probes=p)) where
+    #   only the p nearest shards are scanned.
+    shard_by: str = "hash"
 
     def __post_init__(self) -> None:
         if self.metric not in SUPPORTED_METRICS:
@@ -59,6 +65,8 @@ class IndexParams:
             raise ValueError("passes must be >= 1")
         if self.num_shards < 1:
             raise ValueError("num_shards must be >= 1")
+        if self.shard_by not in ("hash", "kmeans"):
+            raise ValueError("shard_by must be 'hash' or 'kmeans'")
 
     @property
     def slack_limit(self) -> int:

@@ -56,8 +56,12 @@ class DiskANNIndex:
         k: int,
         beam_width: int = 64,
         query_blocks: int | None = None,
+        shard_probes: int | None = None,
     ) -> DataFrame:
         """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist).
+        ``shard_probes`` (broadcast mode): IVF-style shard routing —
+        search only the p shards with the nearest medoid; None = all
+        (exact shard-and-merge).
 
         Physical strategy (the broadcast-join vs shuffle-join analogy):
 
@@ -78,7 +82,8 @@ class DiskANNIndex:
         est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
         if est_bytes <= BROADCAST_INDEX_THRESHOLD:
             return search_ops.broadcast_search(
-                queries, self.vectors, self.graph, self.params, k, beam_width
+                queries, self.vectors, self.graph, self.params, k, beam_width,
+                shard_probes=shard_probes,
             )
         if query_blocks is None:
             par = self.spark.sparkContext.defaultParallelism
@@ -134,7 +139,10 @@ def build_index(
 
     dim = vector_src.validate_vectors(vectors)
     n = vectors.count()
-    sharded = build_ops.assign_shards(vectors.select("id", "vec"), params.num_shards)
+    sharded = build_ops.assign_shards(
+        vectors.select("id", "vec"), params.num_shards,
+        params.shard_by, params.metric, params.seed,
+    )
     graph = build_ops.build_graph(sharded, params)
 
     index_store.write_index_tables(path, sharded, graph)

@@ -66,7 +66,7 @@ def main() -> None:
     # k' from every shard — README.md:157); CPUS/2 is a good middle locally
     n_shards = max(2, int(CPUS) // 2)
     params = IndexParams(
-        max_degree=32, build_beam_width=64, num_shards=n_shards, seed=42
+        max_degree=32, build_beam_width=64, num_shards=n_shards, seed=42, shard_by="kmeans"
     )
     idx_path = os.path.join(tempfile.gettempdir(), "rds_scale_idx")
     shutil.rmtree(idx_path, ignore_errors=True)
@@ -85,6 +85,12 @@ def main() -> None:
     res = idx.search_with_dists(queries, k=K, beam_width=BEAM)
     res.count()
     search_s = time.perf_counter() - t0
+
+    # IVF-style shard routing: probe the 4 nearest shards per query
+    t0 = time.perf_counter()
+    res_p = idx.search_with_dists(queries, k=K, beam_width=BEAM, shard_probes=4)
+    res_p.count()
+    probed_s = time.perf_counter() - t0
 
     # recall vs exact GT on a query sample, computed driver-side with one
     # numpy matmul (the SQL-fold exact path would evaluate n_q*N pairs —
@@ -108,13 +114,17 @@ def main() -> None:
         )
         for i in range(n_gt)
     }
-    got = (
-        res.filter(F.col("query_id").isin(list(gt_sets)))
-        .select("query_id", "id")
-        .collect()
-    )
-    hits = sum(1 for r in got if int(r["id"]) in gt_sets[int(r["query_id"])])
-    recall = hits / float(n_gt * K)
+    def recall_of(df) -> float:
+        got = (
+            df.filter(F.col("query_id").isin(list(gt_sets)))
+            .select("query_id", "id")
+            .collect()
+        )
+        hits = sum(1 for r in got if int(r["id"]) in gt_sets[int(r["query_id"])])
+        return hits / float(n_gt * K)
+
+    recall = recall_of(res)
+    recall_p = recall_of(res_p)
 
     print(
         json.dumps(
@@ -128,9 +138,12 @@ def main() -> None:
                 "search_sec": round(search_s, 2),
                 "search_qps": round(n_q / search_s, 1),
                 "recall_at_10": round(recall, 5),
+                "probed4_search_sec": round(probed_s, 2),
+                "probed4_qps": round(n_q / probed_s, 1),
+                "probed4_recall_at_10": round(recall_p, 5),
                 "beam_width": BEAM,
                 "params": {"max_degree": 32, "build_beam_width": 64,
-                           "num_shards": n_shards},
+                           "num_shards": n_shards, "shard_by": "kmeans"},
                 "baseline_sift1m": {"build_vecs_per_sec": 255.3,
                                     "search_qps": 24379, "recall_at_10": 0.99971},
             }

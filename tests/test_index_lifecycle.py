@@ -158,3 +158,34 @@ def test_broadcast_and_cogroup_search_agree(spark, tmp_path):
     # side may round-robin to fan out across the cluster)
     plan = via_bc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_shard_probe_routing(spark, tmp_path):
+    """IVF-style shard routing: probing all shards equals the unprobed
+    search; probing fewer returns k rows per query with bounded recall
+    loss on clustered data."""
+    rng = np.random.default_rng(21)
+    # 4 well-separated clusters so medoid routing is informative
+    centers = rng.standard_normal((4, 8)) * 10
+    mat = np.concatenate(
+        [c + rng.standard_normal((100, 8)) * 0.5 for c in centers]
+    ).astype(np.float32)
+    df = _vec_df(spark, [(i, mat[i].tolist()) for i in range(len(mat))])
+    idx = build_index(
+        df, str(tmp_path / "pidx"),
+        max_degree=16, build_beam_width=32, num_shards=4, seed=3,
+        shard_by="kmeans",
+    )
+    q = _vec_df(spark, [(i, mat[i].tolist()) for i in range(0, 400, 40)]).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    full = idx.search_with_dists(q, k=5, beam_width=32)
+    allp = idx.search_with_dists(q, k=5, beam_width=32, shard_probes=4)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, allp.collect()))
+    probed = idx.search_with_dists(q, k=5, beam_width=32, shard_probes=1)
+    per_q = probed.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in per_q)
+    # kmeans shards are cluster-aligned and queries sit inside clusters:
+    # even a single probed shard recovers (nearly) everything
+    hits = probed.join(full.select("query_id", "id"), ["query_id", "id"]).count()
+    assert hits / full.count() >= 0.9
