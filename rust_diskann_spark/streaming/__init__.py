@@ -2,6 +2,7 @@ from rust_diskann_spark.streaming.operators import (
     ann_search_stream,
     sessionized_counts,
     streaming_dedup,
+    user_running_stats,
     windowed_event_counts,
     with_event_time,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "ann_search_stream",
     "sessionized_counts",
     "streaming_dedup",
+    "user_running_stats",
     "windowed_event_counts",
     "with_event_time",
 ]

@@ -119,6 +119,64 @@ def streaming_dedup(
     return hashed.dropDuplicates(["content_hash"])
 
 
+def user_running_stats(
+    events: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, sum_value, max_ts_us) maintained across
+    micro-batches — the pattern for bespoke streaming state Spark's
+    built-in aggregations can't express (e.g. decaying counters, session
+    models). State times out ``timeout_ms`` after a user's last event
+    (event-time timeout, bounded by the watermark).
+
+    Batch twin: ``groupBy(user_id).agg(count, sum, max)`` — tests assert
+    the streaming(availableNow) output matches it exactly.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = with_event_time(events).select(
+        "user_id", "event_ts", "value",
+        F.unix_micros("event_ts").alias("ts_us"),
+    )
+    if ev.isStreaming:
+        ev = ev.withWatermark("event_ts", watermark)
+
+    def update(key, pdfs, state):
+        n, total, max_ts = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue  # timeout invocations deliver empty batches
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            max_ts = max(max_ts, int(pdf["ts_us"].max()))
+        state.update((n, total, max_ts))
+        # replaying history (availableNow) can advance the watermark past
+        # event-time + timeout; the timeout must stay ahead of it
+        state.setTimeoutTimestamp(
+            max(max_ts // 1000, state.getCurrentWatermarkMs()) + timeout_ms
+        )
+        import pandas as pd  # local import: executors pickle this closure
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(total, 4)],
+                "max_ts_us": [max_ts],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE, max_ts_us BIGINT",
+        stateStructType="n BIGINT, total DOUBLE, max_ts BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def ann_search_stream(
     queries_stream: DataFrame,
     search_fn: Callable[[DataFrame], DataFrame],

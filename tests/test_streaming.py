@@ -143,3 +143,38 @@ def test_ann_search_stream_foreachbatch(spark, sf_dir):
     finally:
         for d in (qdir, sink, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_user_running_stats_stateful(spark, events_dir):
+    """applyInPandasWithState custom stateful operator: the final per-user
+    state after an availableNow run equals the batch aggregate."""
+    stream_out = st.user_running_stats(_stream(spark, events_dir))
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        # update mode may emit a row per micro-batch; the LAST emission per
+        # user is the final state
+        got = spark.sql(
+            """select user_id, max(n_events) as n_events,
+                      max(sum_value) as sum_value, max(max_ts_us) as max_ts_us
+               from running_stats group by user_id"""
+        )
+        want = (
+            st.with_event_time(_batch(spark, events_dir))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+                F.max(F.unix_micros("event_ts")).alias("max_ts_us"),
+            )
+        )
+        assert _rows(got) == _rows(want)
+        assert got.count() > 0
+    finally:
+        q.stop()
