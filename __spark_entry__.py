@@ -884,6 +884,45 @@ def _top_suppliers_oracle() -> str:
     """
 
 
+def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per event_type (order statistics — the
+    sort-based path; approx sketches trade this for mergeability)."""
+    ev = _events(spark, sf_dir)
+    qs = ev.groupBy("event_type").agg(
+        F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))).alias("q")
+    )
+    return qs.select(
+        "event_type",
+        F.transform("q", lambda x: F.round(x, RND)).alias("quantiles"),
+    )
+
+
+def _value_quantiles_oracle() -> str:
+    return f"""
+        select event_type,
+               list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.9]),
+                              x -> round(x, {RND})) as quantiles
+        from events group by event_type
+    """
+
+
+def _lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (returnflag -> linestatus -> grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+def _lineitem_rollup_oracle() -> str:
+    return """
+        select l_returnflag, l_linestatus, count(*) as n,
+               round(sum(l_extendedprice), 4) as sum_price
+        from lineitem group by rollup (l_returnflag, l_linestatus)
+    """
+
+
 def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: revenue of unshipped orders for one segment —
     3-way join (broadcast dims) + agg + top-10."""
@@ -1049,6 +1088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _shipping_priority,
         "local_supplier_volume": _local_supplier_volume,
         "part_brand_stats": _part_brand_stats,
+        "value_quantiles": _value_quantiles,
+        "lineitem_rollup": _lineitem_rollup,
     }
 
 
@@ -1091,4 +1132,6 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _shipping_priority_oracle(),
         "local_supplier_volume": _local_supplier_volume_oracle(),
         "part_brand_stats": _part_brand_stats_oracle(),
+        "value_quantiles": _value_quantiles_oracle(),
+        "lineitem_rollup": _lineitem_rollup_oracle(),
     }
