@@ -91,6 +91,16 @@ def main() -> None:
     recall = hits / float(n_q * 10)
     qps = round(n_q / timings["ann_search"], 1)
 
+    # untimed barrier: the first Arrow stage after the ANN block pays a
+    # one-time python-worker/broadcast teardown cost (~8 s measured) that
+    # otherwise lands on whichever query happens to run next; flush it
+    # here so per-query timings reflect the queries themselves
+    import pandas as _pd
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id LONG"
+    ).count()
+
     qs = entry_mod.queries()
     bench_queries = [
         "knn_exact_l2",
