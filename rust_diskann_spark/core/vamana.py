@@ -4,6 +4,10 @@ This module implements the reference's graph-build and beam-search
 algorithms (the two genuinely sequential, non-relational pieces) as pure
 numpy over one shard's vectors. It runs inside ``applyInPandas`` on
 executors; keeping it Spark-free makes it unit-testable in-process.
+The algorithm is Vamana from the DiskANN paper (Subramanya et al.,
+"DiskANN: Fast Accurate Billion-point Nearest Neighbor Search on a
+Single Node", NeurIPS 2019); parameter semantics follow the reference
+implementation cited below.
 
 Algorithm parity map (reference src/lib.rs):
 
