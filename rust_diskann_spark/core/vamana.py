@@ -97,10 +97,16 @@ def _make_dist_ids(
     to the generic batch kernel."""
     if metric == "l2" and sqnorms is not None:
         q64 = np.asarray(query, dtype=np.float64)
-        qq = float(q64 @ q64)
+        # 2-d einsum form so the accumulation matches the batch path's qq
+        qq = float(np.einsum("ij,ij->i", q64[None, :], q64[None, :])[0])
 
         def fn(ids: np.ndarray) -> np.ndarray:
-            d2 = sqnorms[ids] - 2.0 * (vectors[ids] @ q64) + qq
+            # contiguous-float64 einsum, IDENTICAL arithmetic to the
+            # lockstep batch path (beam_search_batch) so both produce
+            # bit-equal distances — ties and terminations must agree
+            rows = vectors[ids].astype(np.float64)
+            qrows = np.ascontiguousarray(np.broadcast_to(q64, rows.shape))
+            d2 = sqnorms[ids] - 2.0 * np.einsum("ij,ij->i", rows, qrows) + qq
             return np.sqrt(np.maximum(d2, 0.0))
 
         return fn
@@ -475,6 +481,131 @@ def beam_search(
         collect_visited=False, sqnorms=sqnorms,
     )
     return ids[:k], dists[:k]
+
+
+def beam_search_batch(
+    vectors: np.ndarray,
+    graph: Graph,
+    metric: str,
+    medoid: int,
+    qmat: np.ndarray,
+    k: int,
+    beam_width: int,
+    sqnorms: np.ndarray | None = None,
+    max_block: int = 64,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Lockstep batch of :func:`beam_search` — identical per-query results
+    (asserted in tests), one fused distance evaluation per round instead
+    of one numpy call per expansion per query.
+
+    Each query's state machine is independent, so advancing every active
+    query by exactly one pop per round reproduces the sequential
+    algorithm's pop/admission sequence verbatim; only the distance
+    arithmetic is batched across queries. Queries run in blocks of
+    ``max_block`` to bound the (block x n) visited bitmap.
+    """
+    n = vectors.shape[0]
+    beam = max(beam_width, k)
+    if metric == "l2" and sqnorms is None:
+        sqnorms = sq_norms(vectors)
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    # bound visited bitmap to ~64 MB
+    block = max(1, min(max_block, (64 << 20) // max(n, 1)))
+    for lo in range(0, len(qmat), block):
+        out.extend(
+            _beam_block(
+                vectors, graph, metric, medoid, qmat[lo : lo + block],
+                k, beam, sqnorms,
+            )
+        )
+    return out
+
+
+def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms):
+    n = vectors.shape[0]
+    B = len(qblock)
+    q64 = np.asarray(qblock, dtype=np.float64)
+    use_norm = metric == "l2" and sqnorms is not None
+    if use_norm:
+        qq = np.einsum("ij,ij->i", q64, q64)
+
+    def dists_for(qidx: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        if use_norm:
+            # same contiguous-float64 einsum as _make_dist_ids — bit-equal
+            rows = vectors[ids].astype(np.float64)
+            qrows = q64[qidx]
+            d2 = sqnorms[ids] - 2.0 * np.einsum("ij,ij->i", rows, qrows) + qq[qidx]
+            return np.sqrt(np.maximum(d2, 0.0))
+        return _rowwise_dist(metric, qblock, qidx, vectors, ids)
+
+    visited = np.zeros((B, n), dtype=bool)
+    frontiers: list[list[tuple[float, int]]] = [[] for _ in range(B)]
+    ws: list[list[tuple[float, int]]] = [[] for _ in range(B)]
+    active = list(range(B))
+
+    d0 = dists_for(np.arange(B, dtype=np.int64), np.full(B, medoid, dtype=np.int64))
+    for i in range(B):
+        visited[i, medoid] = True
+        heapq.heappush(frontiers[i], (float(d0[i]), medoid))
+        _admit(ws[i], float(d0[i]), medoid, beam)
+
+    while active:
+        qidx_parts: list[np.ndarray] = []
+        nbr_parts: list[np.ndarray] = []
+        counts: dict[int, int] = {}
+        still: list[int] = []
+        for i in active:
+            f = frontiers[i]
+            if not f:
+                continue
+            best_d, best_id = heapq.heappop(f)
+            w = ws[i]
+            if len(w) >= beam and (best_d, best_id) >= (-w[0][0], -w[0][1]):
+                continue  # terminated (lib.rs:657-664)
+            still.append(i)
+            nbrs = graph.neighbors(best_id)
+            fresh = nbrs[~visited[i, nbrs]] if len(nbrs) else nbrs
+            if len(fresh):
+                visited[i, fresh] = True
+                qidx_parts.append(np.full(len(fresh), i, dtype=np.int64))
+                nbr_parts.append(fresh.astype(np.int64))
+                counts[i] = len(fresh)
+        if not still:
+            break
+        active = still
+        if not nbr_parts:
+            continue
+        qidx = np.concatenate(qidx_parts)
+        ids = np.concatenate(nbr_parts)
+        ds = dists_for(qidx, ids)
+        pos = 0
+        for part_q, part_n in zip(qidx_parts, nbr_parts):
+            i = int(part_q[0])
+            w = ws[i]
+            f = frontiers[i]
+            for nid, nd in zip(part_n.tolist(), ds[pos : pos + len(part_n)].tolist()):
+                if len(w) < beam or nd < -w[0][0]:
+                    heapq.heappush(f, (nd, nid))
+                    _admit(w, nd, nid, beam)
+            pos += len(part_n)
+
+    results = []
+    for i in range(B):
+        pairs = sorted((-nd, -ni) for nd, ni in ws[i])
+        ids_i = np.array([x for _, x in pairs], dtype=np.int64)[:k]
+        ds_i = np.array([d for d, _ in pairs], dtype=np.float64)[:k]
+        results.append((ids_i, ds_i))
+    return results
+
+
+def _rowwise_dist(metric, qblock, qidx, vectors, ids):
+    """Generic (non-l2) fallback: per-query segments evaluated with the
+    batch kernel, reassembled in input order."""
+    out = np.empty(len(ids), dtype=np.float64)
+    for i in np.unique(qidx):
+        m = qidx == i
+        out[m] = _dist_batch(metric, qblock[i], vectors[ids[m]])
+    return out
 
 
 def graph_from_lists(lists: list[list[int]], max_degree: int) -> Graph:

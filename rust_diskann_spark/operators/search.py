@@ -105,12 +105,12 @@ def search(
         medoid_local = pos[int(index_pdf["medoid"].iloc[0])]
         sqn = vamana.sq_norms(mat) if metric == "l2" else None
         out_q, out_i, out_d = [], [], []
-        for qid, qvec in zip(q_pdf["query_id"], q_pdf["qvec"]):
-            ids, dists = vamana.beam_search(
-                mat, graph, metric, medoid_local,
-                np.asarray(qvec, dtype=dtype), per_shard_k, beam_width,
-                sqnorms=sqn,
-            )
+        qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=dtype)
+        results = vamana.beam_search_batch(
+            mat, graph, metric, medoid_local, qmat, per_shard_k, beam_width,
+            sqnorms=sqn,
+        )
+        for qid, (ids, dists) in zip(q_pdf["query_id"], results):
             out_q.extend([int(qid)] * len(ids))
             out_i.extend(gids[ids].tolist())
             out_d.extend(dists.tolist())
@@ -191,36 +191,43 @@ def broadcast_search(
         for q_pdf in batches:
             if len(q_pdf) == 0:
                 continue
+            qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=dtype)
+            qids = q_pdf["query_id"].to_numpy()
+            shard_list = list(local.values())
+            if shard_list and qmat.shape[1] != shard_list[0][1].shape[1]:
+                raise ValueError(
+                    f"query dimension mismatch: index dim "
+                    f"{shard_list[0][1].shape[1]}, query dim {qmat.shape[1]} "
+                    f"(reference lib.rs:636-641)"
+                )
+            # per-query shard routing (IVF-style) or scan-all
+            if shard_probes is not None and shard_probes < len(shard_list):
+                meds = np.stack([s[1][s[3]] for s in shard_list])
+                dmat = np.stack(
+                    [vamana._dist_batch(metric, q, meds) for q in qmat]
+                )  # (n_q, n_shards)
+                probe_sets = np.argsort(dmat, axis=1, kind="stable")[:, :shard_probes]
+            else:
+                probe_sets = None
+            cand: list[list[tuple[float, int]]] = [[] for _ in range(len(qmat))]
+            for s_idx, (gids, mat, graph, medoid_local, sqn) in enumerate(shard_list):
+                if probe_sets is None:
+                    sel = np.arange(len(qmat))
+                else:
+                    sel = np.nonzero((probe_sets == s_idx).any(axis=1))[0]
+                    if len(sel) == 0:
+                        continue
+                results = vamana.beam_search_batch(
+                    mat, graph, metric, medoid_local, qmat[sel],
+                    max(k, beam_width), beam_width, sqnorms=sqn,
+                )
+                for qi, (ids, dists) in zip(sel, results):
+                    cand[qi].extend(zip(dists.tolist(), gids[ids].tolist()))
             out_q, out_r, out_i, out_d = [], [], [], []
-            for qid, qvec in zip(q_pdf["query_id"], q_pdf["qvec"]):
-                qarr = np.asarray(qvec, dtype=dtype)
-                shard_list = list(local.values())
-                if shard_probes is not None and shard_probes < len(shard_list):
-                    med_d = np.array(
-                        [
-                            vamana._dist_batch(
-                                metric, qarr, s[1][s[3] : s[3] + 1]
-                            )[0]
-                            for s in shard_list
-                        ]
-                    )
-                    order = np.argsort(med_d, kind="stable")[:shard_probes]
-                    shard_list = [shard_list[i] for i in order]
-                cand: list[tuple[float, int]] = []
-                for gids, mat, graph, medoid_local, sqn in shard_list:
-                    if len(qarr) != mat.shape[1]:
-                        raise ValueError(
-                            f"query dimension mismatch: index dim {mat.shape[1]}, "
-                            f"query dim {len(qarr)} (reference lib.rs:636-641)"
-                        )
-                    ids, dists = vamana.beam_search(
-                        mat, graph, metric, medoid_local, qarr,
-                        max(k, beam_width), beam_width, sqnorms=sqn,
-                    )
-                    cand.extend(zip(dists.tolist(), gids[ids].tolist()))
-                cand.sort()  # (dist, id) — reference Candidate ordering
-                for rank, (d, i) in enumerate(cand[:k], start=1):
-                    out_q.append(int(qid))
+            for qi, pairs in enumerate(cand):
+                pairs.sort()  # (dist, id) — reference Candidate ordering
+                for rank, (d, i) in enumerate(pairs[:k], start=1):
+                    out_q.append(int(qids[qi]))
                     out_r.append(rank)
                     out_i.append(int(i))
                     out_d.append(float(d))

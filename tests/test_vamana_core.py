@@ -118,3 +118,30 @@ def test_recall_gate():
         exact = np.argsort(np.linalg.norm(mat.astype(np.float64) - q, axis=1))[:10]
         rec += len(set(ids.tolist()) & set(exact.tolist())) / 10
     assert rec / 50 >= 0.95
+
+
+def test_beam_search_batch_bitequal_to_sequential():
+    """The lockstep batch kernel must reproduce the sequential beam
+    search exactly (same arithmetic, same pops/admissions)."""
+    import numpy as np
+    from rust_diskann_spark.core.vamana import (
+        beam_search, beam_search_batch, build_vamana, sq_norms,
+    )
+    from rust_diskann_spark.params import IndexParams
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((600, 24)).astype(np.float32)
+    p = IndexParams(max_degree=16, build_beam_width=32, num_shards=1, seed=7)
+    g, med = build_vamana(mat, p, seed=7)
+    sqn = sq_norms(mat)
+    Q = mat[::7]
+    batch = beam_search_batch(mat, g, "l2", med, Q, 5, 32, sqnorms=sqn, max_block=16)
+    for i, q in enumerate(Q):
+        ids, ds = beam_search(mat, g, "l2", med, q, 5, 32, sqnorms=sqn)
+        assert ids.tolist() == batch[i][0].tolist()
+        assert np.array_equal(ds, batch[i][1])
+    # non-l2 fallback path too
+    batch_c = beam_search_batch(mat, g, "cosine", med, Q[:10], 5, 32)
+    for i, q in enumerate(Q[:10]):
+        ids, ds = beam_search(mat, g, "cosine", med, q, 5, 32)
+        assert ids.tolist() == batch_c[i][0].tolist()
