@@ -31,6 +31,112 @@ from pyspark.sql import functions as F
 from rust_diskann_spark.functions import text as TX
 from rust_diskann_spark.functions.distance import distance_expr
 
+# LSH bucket pair generation is quadratic per bucket; buckets above this
+# size are split into positional blocks so the B^2/2 work of a hot bucket
+# (boilerplate/templated docs) spreads across ceil(B/BLOCK)^2/2 tasks
+# instead of serializing on one. 512^2/2 ≈ 131k vectorized pair evals per
+# task — milliseconds of numpy, small enough that even one mega-bucket
+# load-balances across a 1000-executor cluster.
+_PAIR_BLOCK = 512
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _blocked_bucket_pairs(
+    buckets: DataFrame,
+    with_simhash: bool,
+    max_hamming: int | None = None,
+    block: int = _PAIR_BLOCK,
+) -> DataFrame:
+    """Skew-proof pair expansion over LSH buckets.
+
+    ``buckets`` carries one row per bucket with ``ids ARRAY<BIGINT>``
+    (and ``shs ARRAY<BIGINT>`` simhash payloads when ``with_simhash``).
+
+    Stage 1 (narrow): sort each bucket by id, cut into positional blocks
+    of ``block``, emit one row per block pair (bi <= bj). Because blocks
+    are contiguous ranges of the sorted ids, every cross-block pair
+    already satisfies doc_a < doc_b, and self-block pairs use the upper
+    triangle — no post-filter.
+
+    Stage 2 (after a round-robin repartition that defeats AQE's
+    pre-explode coalescing): vectorized numpy pair generation per block
+    pair; for simhash also XOR + byte-table popcount and the
+    ``max_hamming`` filter. Replaces a nested Catalyst
+    transform/slice/flatten expression that (a) put an entire hot
+    bucket's quadratic work on one task and (b) cost ~10s of cold
+    JIT/codegen on first execution.
+    """
+    payload = ["ids", "shs"] if with_simhash else ["ids"]
+    split_schema = ", ".join(
+        f"{c}_{s} ARRAY<BIGINT>" for s in ("a", "b") for c in payload
+    )
+
+    def split_blocks(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f"{c}_{s}": [] for s in ("a", "b") for c in payload
+            }
+            for tup in zip(*(pdf[c] for c in payload)):
+                ids = np.asarray(tup[0], dtype=np.int64)
+                order = np.argsort(ids, kind="stable")
+                cols = [ids[order]] + [
+                    np.asarray(t, dtype=np.int64)[order] for t in tup[1:]
+                ]
+                nb = (len(ids) + block - 1) // block
+                for bi in range(nb):
+                    for bj in range(bi, nb):
+                        for c, arr in zip(payload, cols):
+                            rows[f"{c}_a"].append(
+                                arr[bi * block : (bi + 1) * block]
+                            )
+                            rows[f"{c}_b"].append(
+                                arr[bj * block : (bj + 1) * block]
+                            )
+            yield pd.DataFrame(rows)
+
+    blocked = buckets.mapInPandas(split_blocks, split_schema).repartition(
+        buckets.sparkSession.sparkContext.defaultParallelism
+    )
+
+    def gen_pairs(batches):
+        empty_cols: dict[str, list] = {"doc_a": [], "doc_b": []}
+        if with_simhash:
+            empty_cols["hamming"] = []
+        empty = pd.DataFrame(empty_cols).astype("int64")
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                self_block = ids_a[0] == ids_b[0]
+                if self_block:
+                    ii, jj = np.triu_indices(len(ids_a), 1)
+                else:
+                    ii = np.repeat(np.arange(len(ids_a)), len(ids_b))
+                    jj = np.tile(np.arange(len(ids_b)), len(ids_a))
+                if len(ii) == 0:
+                    continue
+                out = {"doc_a": ids_a[ii], "doc_b": ids_b[jj]}
+                if with_simhash:
+                    sh_a = np.asarray(row.shs_a, dtype=np.int64)
+                    sh_b = np.asarray(row.shs_b, dtype=np.int64)
+                    x = (sh_a[ii] ^ sh_b[jj]).view(np.uint8).reshape(-1, 8)
+                    hm = _POPCOUNT8[x].sum(axis=1)
+                    m = hm <= max_hamming
+                    out = {
+                        "doc_a": out["doc_a"][m],
+                        "doc_b": out["doc_b"][m],
+                        "hamming": hm[m],
+                    }
+                outs.append(pd.DataFrame(out))
+            yield pd.concat(outs).astype("int64") if outs else empty
+
+    out_schema = "doc_a BIGINT, doc_b BIGINT" + (
+        ", hamming BIGINT" if with_simhash else ""
+    )
+    return blocked.mapInPandas(gen_pairs, out_schema).distinct()
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -138,14 +244,16 @@ def minhash_candidate_pairs(
     """LSH candidate pairs (doc_a < doc_b): docs sharing >=1 band bucket.
 
     Plan: signatures -> posexplode band keys -> ONE shuffle grouping by
-    (band, key) -> in-array pair generation (nested ``transform`` over
-    the sorted bucket) -> distinct. Grouping instead of a self-join
-    evaluates the (expensive) signature lineage once and shuffles each
-    band row once — the join formulation scanned and shuffled it twice.
-    Hot buckets (boilerplate docs) are the skew risk at scale: a bucket
-    of B docs emits B^2/2 pairs; ``max_bucket_size`` drops degenerate
-    buckets (standard practice — such buckets mean near-identical
-    boilerplate better handled by exact dedup first).
+    (band, key) -> skew-proof blocked pair generation
+    (:func:`_blocked_bucket_pairs`) -> distinct. Grouping instead of a
+    self-join evaluates the (expensive) signature lineage once and
+    shuffles each band row once — the join formulation scanned and
+    shuffled it twice. Hot buckets (boilerplate docs) are the skew risk
+    at scale: a bucket of B docs emits B^2/2 pairs; the blocked
+    expansion spreads that across tasks, and ``max_bucket_size``
+    optionally drops degenerate buckets entirely (standard practice —
+    such buckets mean near-identical boilerplate better handled by
+    exact dedup first).
     """
     sigs = minhash_signatures(docs, text_col, n)
     bands = sigs.select(
@@ -156,31 +264,12 @@ def minhash_candidate_pairs(
     )
     buckets = (
         bands.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    # explicit fan-out before the explode: bucket rows are tiny but each
-    # fans out to |bucket|^2/2 pairs — AQE's coalescing only sees the
-    # pre-explode bytes and would serialize the expansion onto one task
-    buckets = buckets.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
-    combos = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    return _blocked_bucket_pairs(buckets, with_simhash=False)
 
 
 def minhash_near_duplicates(
@@ -358,40 +447,19 @@ def simhash_near_duplicates(
             )
         ).alias("chunk_id", "chunk_val"),
     )
-    # one shuffle: group each chunk bucket, generate pairs in-array (the
-    # signature lineage is evaluated once — a self-join would scan twice)
+    # one shuffle: group each chunk bucket (the signature lineage is
+    # evaluated once — a self-join would scan twice), then skew-proof
+    # blocked pair generation + popcount filter
     buckets = (
         chunks.groupBy("chunk_id", "chunk_val")
         .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
+            F.collect_list("doc_id").alias("ids"),
+            F.collect_list("simhash").alias("shs"),
         )
-        .filter(F.size("ds") >= 2)
+        .filter(F.size("ids") >= 2)
     )
-    # same AQE-coalescing countermeasure as minhash_candidate_pairs: the
-    # pair expansion happens after this exchange, invisible to AQE sizing
-    buckets = buckets.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
-    combos = F.flatten(
-        F.transform(
-            "ds",
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
-                    .cast("long")
-                    .alias("hamming"),
-                ),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return _blocked_bucket_pairs(
+        buckets, with_simhash=True, max_hamming=max_hamming
     )
 
 
