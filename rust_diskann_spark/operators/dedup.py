@@ -204,26 +204,40 @@ def minhash_signatures(
 
     def fn(batches):
         for pdf in batches:
-            out_id, out_sig = [], []
+            # pass 1: tokenize; intern shingles into a batch vocabulary.
+            # Templated corpora repeat shingles heavily across docs, so
+            # hashing + permuting once per UNIQUE shingle (not per
+            # occurrence) cuts the scalar md5 work by the repeat factor.
+            vocab: dict[str, int] = {}
+            per_doc: list[tuple[int, np.ndarray]] = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 toks = [t for t in ws.split((text or "").lower()) if t]
                 if len(toks) < n:
                     continue
-                h = np.fromiter(
-                    (
-                        int(
-                            hashlib.md5(
-                                " ".join(toks[i : i + n]).encode()
-                            ).hexdigest()[:15],
-                            16,
-                        )
-                        % P
-                        for i in range(len(toks) - n + 1)
-                    ),
-                    dtype=np.int64,
+                idxs = np.empty(len(toks) - n + 1, dtype=np.int64)
+                for i in range(len(toks) - n + 1):
+                    s = " ".join(toks[i : i + n])
+                    j = vocab.get(s)
+                    if j is None:
+                        j = vocab[s] = len(vocab)
+                    idxs[i] = j
+                per_doc.append((int(doc_id), idxs))
+            if not per_doc:
+                yield pd.DataFrame({"doc_id": [], "signature": []}).astype(
+                    {"doc_id": "int64", "signature": "object"}
                 )
-                out_id.append(int(doc_id))
-                out_sig.append(((A * h[None, :] + B) % P).min(axis=1))
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+                    for s in vocab
+                ),
+                dtype=np.int64,
+                count=len(vocab),
+            )
+            permvals = (A * hs[None, :] + B) % P  # (perms, |vocab|)
+            out_id = [d for d, _ in per_doc]
+            out_sig = [permvals[:, idxs].min(axis=1) for _, idxs in per_doc]
             yield pd.DataFrame({"doc_id": out_id, "signature": out_sig})
 
     src = docs.select("doc_id", text_col)
@@ -385,16 +399,27 @@ def simhash_signatures(
 
     def fn(batches):
         for pdf in batches:
-            out_id, out_sh = [], []
+            # batch token vocabulary: md5 + bit-expand once per UNIQUE
+            # token (vocabularies repeat heavily across docs), then each
+            # doc's simhash is one fancy-index + column sum
+            vocab: dict[str, int] = {}
+            per_doc: list[tuple[int, np.ndarray | None]] = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 toks = dict.fromkeys(
                     t for t in ws.split((text or "").lower()) if t
                 )  # distinct, first-seen order
                 if not toks:
-                    out_id.append(int(doc_id))
-                    out_sh.append(0)
+                    per_doc.append((int(doc_id), None))
                     continue
-                digs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+                idxs = np.empty(len(toks), dtype=np.int64)
+                for i, t in enumerate(toks):
+                    j = vocab.get(t)
+                    if j is None:
+                        j = vocab[t] = len(vocab)
+                    idxs[i] = j
+                per_doc.append((int(doc_id), idxs))
+            if vocab:
+                digs = [hashlib.md5(t.encode()).hexdigest() for t in vocab]
                 h1 = np.fromiter(
                     (int(d[:8], 16) & MASK for d in digs), dtype=np.int64
                 )
@@ -407,10 +432,16 @@ def simhash_signatures(
                         (h2[:, None] >> np.arange(HALF)) & 1,
                     ],
                     axis=1,
-                )  # (n_tokens, BITS)
-                counts = (bits * 2 - 1).sum(axis=0)
-                out_id.append(int(doc_id))
-                out_sh.append(int(pows[counts > 0].sum()))
+                )  # (|vocab|, BITS)
+                signed = bits * 2 - 1
+            out_id, out_sh = [], []
+            for doc_id, idxs in per_doc:
+                out_id.append(doc_id)
+                if idxs is None:
+                    out_sh.append(0)
+                else:
+                    counts = signed[idxs].sum(axis=0)
+                    out_sh.append(int(pows[counts > 0].sum()))
             yield pd.DataFrame({"doc_id": out_id, "simhash": out_sh})
 
     src = docs.select("doc_id", text_col)
