@@ -138,6 +138,37 @@ def search_ids(*args, **kwargs) -> DataFrame:
     return search(*args, **kwargs).select("query_id", "rank", "id")
 
 
+def materialize_shards(
+    index_vectors: DataFrame, index_graph: DataFrame, params: IndexParams
+) -> dict[int, tuple]:
+    """Collect the index into the driver-side numpy form broadcast_search
+    ships to executors: {shard: (gids, mat, graph, medoid_local, sqnorms)}.
+
+    Separated from :func:`broadcast_search` so an index handle can
+    materialize ONCE and reuse the broadcast across every subsequent
+    query batch — the Spark analog of the reference's open-once/mmap
+    residency (lib.rs:450-496): queries after the first pay zero index
+    load cost.
+    """
+    metric = params.metric
+    dtype = np.int64 if metric == "hamming" else np.float32
+    side = index_vectors.join(
+        index_graph.select("shard", "id", "neighbors", "medoid"), ["shard", "id"]
+    )
+    shards: dict[int, tuple] = {}
+    for shard_id, pdf in side.toPandas().groupby("shard"):
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        gids = pdf["id"].to_numpy()
+        pos = {int(g): i for i, g in enumerate(gids)}
+        mat = np.asarray(pdf["vec"].tolist(), dtype=dtype)
+        lists = [[pos[int(g)] for g in nbrs] for nbrs in pdf["neighbors"]]
+        graph = vamana.graph_from_lists(lists, max_degree=1)
+        medoid_local = pos[int(pdf["medoid"].iloc[0])]
+        sqn = vamana.sq_norms(mat) if metric == "l2" else None
+        shards[int(shard_id)] = (gids, mat, graph, medoid_local, sqn)
+    return shards
+
+
 def broadcast_search(
     queries: DataFrame,
     index_vectors: DataFrame,
@@ -146,6 +177,7 @@ def broadcast_search(
     k: int,
     beam_width: int = 64,
     shard_probes: int | None = None,
+    shards_bc=None,
 ) -> DataFrame:
     """ZERO-shuffle search for indexes that fit executor memory.
 
@@ -165,26 +197,20 @@ def broadcast_search(
     every shard — the exact shard-and-merge semantics (README.md:157);
     fewer probes trade recall for a proportional QPS gain, the knob that
     matters when num_shards is large.
+
+    ``shards_bc``: a prebuilt broadcast of :func:`materialize_shards`
+    output — pass it to amortize index materialization across calls
+    (DiskANNIndex does this); None collects + broadcasts here.
     """
     spark = queries.sparkSession
     metric = params.metric
     dtype = np.int64 if metric == "hamming" else np.float32
 
-    side = index_vectors.join(
-        index_graph.select("shard", "id", "neighbors", "medoid"), ["shard", "id"]
-    )
-    shards: dict[int, tuple] = {}
-    for shard_id, pdf in side.toPandas().groupby("shard"):
-        pdf = pdf.sort_values("id").reset_index(drop=True)
-        gids = pdf["id"].to_numpy()
-        pos = {int(g): i for i, g in enumerate(gids)}
-        mat = np.asarray(pdf["vec"].tolist(), dtype=dtype)
-        lists = [[pos[int(g)] for g in nbrs] for nbrs in pdf["neighbors"]]
-        graph = vamana.graph_from_lists(lists, max_degree=1)
-        medoid_local = pos[int(pdf["medoid"].iloc[0])]
-        sqn = vamana.sq_norms(mat) if metric == "l2" else None
-        shards[int(shard_id)] = (gids, mat, graph, medoid_local, sqn)
-    bc = spark.sparkContext.broadcast(shards)
+    bc = shards_bc
+    if bc is None:
+        bc = spark.sparkContext.broadcast(
+            materialize_shards(index_vectors, index_graph, params)
+        )
 
     def run(batches):
         local = bc.value

@@ -35,6 +35,20 @@ class DiskANNIndex:
     meta: index_store.IndexMetadata
     vectors: DataFrame  # (shard, id, vec)
     graph: DataFrame  # (shard, id, neighbors, medoid)
+    # lazily-built broadcast of the materialized shards (broadcast search
+    # mode) — built once, reused by every query batch; sound because an
+    # index is immutable once built (reference has no insert-after-build,
+    # SURVEY §2.5)
+    _shards_bc: object = None
+
+    def _broadcast_shards(self):
+        if self._shards_bc is None:
+            self._shards_bc = self.spark.sparkContext.broadcast(
+                search_ops.materialize_shards(
+                    self.vectors, self.graph, self.params
+                )
+            )
+        return self._shards_bc
 
     @property
     def params(self) -> IndexParams:
@@ -83,7 +97,7 @@ class DiskANNIndex:
         if est_bytes <= BROADCAST_INDEX_THRESHOLD:
             return search_ops.broadcast_search(
                 queries, self.vectors, self.graph, self.params, k, beam_width,
-                shard_probes=shard_probes,
+                shard_probes=shard_probes, shards_bc=self._broadcast_shards(),
             )
         if query_blocks is None:
             par = self.spark.sparkContext.defaultParallelism
@@ -111,11 +125,19 @@ class DiskANNIndex:
 
     def warm(self) -> "DiskANNIndex":
         """Pin the index in executor memory — the analog of the reference's
-        mmap page-cache warm-up (README.md:37)."""
+        mmap page-cache warm-up (README.md:37). Under the broadcast
+        threshold this also pre-materializes the shard broadcast, so the
+        first query batch pays zero index-load cost."""
         self.vectors = self.vectors.persist()
         self.graph = self.graph.persist()
         self.vectors.count()
         self.graph.count()
+        m = self.meta
+        elem = 8 if m.elem_type == "long" else 4
+        if m.num_vectors * (elem * m.dim + 4 * m.max_degree) <= (
+            BROADCAST_INDEX_THRESHOLD
+        ):
+            self._broadcast_shards()
         return self
 
 
