@@ -415,7 +415,99 @@ def build_vamana(vectors: np.ndarray, params: IndexParams, seed: int) -> tuple[G
                 params.alpha, sqnorms=sqn,
             )
             _set_neighbors(graph, u, pruned)
+    _repair_connectivity(graph, vectors, params, medoid, sqn)
     return graph, medoid
+
+
+def _repair_connectivity(
+    graph: Graph,
+    vectors: np.ndarray,
+    params: IndexParams,
+    medoid: int,
+    sqn: np.ndarray | None,
+) -> None:
+    """Deterministic post-build connectivity repair (engine addition — the
+    reference has no equivalent and can ship a disconnected graph).
+
+    On strongly clustered data, alpha-pruning fills every out-list with
+    same-cluster candidates (occlusion is weak in high dimension, so the
+    ``max_degree`` nearest candidates win all slots) and whole clusters
+    disconnect from the medoid's component — beam search from the medoid
+    (lib.rs:644-687 starts ONLY there) then never reaches them and recall
+    collapses. Repair: BFS from the medoid; while unreached nodes remain,
+    take the unreached node v closest to the medoid, link it
+    bidirectionally with its nearest reached node u (appending within the
+    degree bound, else replacing the current farthest out-neighbor). Each
+    bridge merges a component; a no-op on already-connected graphs, so
+    search results on them are untouched.
+    """
+    n = vectors.shape[0]
+    if n <= 1:
+        return
+    dist_to = lambda x, ids: _make_dist_ids(  # noqa: E731
+        params.metric, vectors, vectors[x], sqn
+    )(np.asarray(ids, dtype=np.int64))
+
+    def bridge(u: int, v: int) -> None:
+        # append if a slot is free under max_degree, else replace the
+        # farthest current neighbor (keeps the degree invariant)
+        if v in graph.neighbors(u):
+            return
+        if graph.deg[u] < min(params.max_degree, graph.adj.shape[1]):
+            graph.adj[u, graph.deg[u]] = v
+            graph.deg[u] += 1
+            return
+        nbrs = graph.neighbors(u).astype(np.int64)
+        worst = int(np.argmax(dist_to(u, nbrs)))
+        graph.adj[u, worst] = v
+
+    for _ in range(n):  # each iteration merges >= 1 component
+        reached = np.zeros(n, dtype=bool)
+        reached[medoid] = True
+        stack = [medoid]
+        while stack:
+            u = stack.pop()
+            nbrs = graph.neighbors(u)
+            fresh = nbrs[~reached[nbrs]]
+            if len(fresh):
+                reached[fresh] = True
+                stack.extend(int(x) for x in fresh)
+        if reached.all():
+            return
+        un = np.nonzero(~reached)[0]
+        re = np.nonzero(reached)[0]
+        v = int(un[np.argmin(dist_to(medoid, un))])
+        u = int(re[np.argmin(dist_to(v, re))])
+        bridge(u, v)
+        bridge(v, u)
+
+
+def select_entry_points(
+    vectors: np.ndarray,
+    metric: str,
+    medoid: int,
+    count: int,
+    sqnorms: np.ndarray | None = None,
+) -> np.ndarray:
+    """Farthest-point-sampled search entry points, medoid first.
+
+    Greedy 2-approximation of the k-center problem: each new entry is the
+    point maximizing its distance to the nearest already-chosen entry
+    (ties -> lowest id). With well-separated clusters this lands one entry
+    per cluster before refining, which is exactly what multi-entry beam
+    search needs. Deterministic; O(n * count) distance evaluations.
+    """
+    n = vectors.shape[0]
+    count = max(1, min(count, n))
+    chosen = [int(medoid)]
+    mind = _dist_batch(metric, vectors[medoid], vectors)
+    while len(chosen) < count:
+        nxt = int(np.argmax(mind))  # argmax -> first (lowest id) on ties
+        if mind[nxt] <= 0.0:
+            break  # all remaining points coincide with an entry
+        chosen.append(nxt)
+        mind = np.minimum(mind, _dist_batch(metric, vectors[nxt], vectors))
+    return np.array(chosen, dtype=np.int64)
 
 
 def _set_neighbors(graph: Graph, u: int, nbrs: np.ndarray) -> None:
@@ -471,13 +563,16 @@ def beam_search(
     k: int,
     beam_width: int,
     sqnorms: np.ndarray | None = None,
+    entries: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Query-time top-k (reference lib.rs:635-693): beam search from the
-    medoid, then sort by (dist, id) and truncate to k. Callers with many
-    queries should pass ``sqnorms=sq_norms(vectors)`` computed once."""
+    medoid (plus any extra ``entries`` — see IndexParams.entry_points),
+    then sort by (dist, id) and truncate to k. Callers with many queries
+    should pass ``sqnorms=sq_norms(vectors)`` computed once."""
     beam = max(beam_width, k)
+    seeds = [medoid] if entries is None else [int(e) for e in entries]
     ids, dists = greedy_search(
-        vectors, graph, metric, query, [medoid], beam,
+        vectors, graph, metric, query, seeds, beam,
         collect_visited=False, sqnorms=sqnorms,
     )
     return ids[:k], dists[:k]
@@ -493,6 +588,7 @@ def beam_search_batch(
     beam_width: int,
     sqnorms: np.ndarray | None = None,
     max_block: int = 64,
+    entries: np.ndarray | None = None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Lockstep batch of :func:`beam_search` — identical per-query results
     (asserted in tests), one fused distance evaluation per round instead
@@ -515,13 +611,14 @@ def beam_search_batch(
         out.extend(
             _beam_block(
                 vectors, graph, metric, medoid, qmat[lo : lo + block],
-                k, beam, sqnorms,
+                k, beam, sqnorms, entries,
             )
         )
     return out
 
 
-def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms):
+def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
+                entries=None):
     n = vectors.shape[0]
     B = len(qblock)
     q64 = np.asarray(qblock, dtype=np.float64)
@@ -543,16 +640,25 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms):
     ws: list[list[tuple[float, int]]] = [[] for _ in range(B)]
     active = list(range(B))
 
-    d0 = dists_for(np.arange(B, dtype=np.int64), np.full(B, medoid, dtype=np.int64))
+    # seed every entry point (greedy_search seeds sorted-ascending, so the
+    # sequential and batch paths stay result-identical)
+    if entries is None:
+        seed_ids = np.array([medoid], dtype=np.int64)
+    else:
+        seed_ids = np.array(sorted(set(int(e) for e in entries)), dtype=np.int64)
+    E = len(seed_ids)
+    d0 = dists_for(
+        np.repeat(np.arange(B, dtype=np.int64), E), np.tile(seed_ids, B)
+    )
     for i in range(B):
-        visited[i, medoid] = True
-        heapq.heappush(frontiers[i], (float(d0[i]), medoid))
-        _admit(ws[i], float(d0[i]), medoid, beam)
+        for j, sid in enumerate(seed_ids):
+            visited[i, sid] = True
+            heapq.heappush(frontiers[i], (float(d0[i * E + j]), int(sid)))
+            _admit(ws[i], float(d0[i * E + j]), int(sid), beam)
 
     while active:
         qidx_parts: list[np.ndarray] = []
         nbr_parts: list[np.ndarray] = []
-        counts: dict[int, int] = {}
         still: list[int] = []
         for i in active:
             f = frontiers[i]
@@ -569,7 +675,6 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms):
                 visited[i, fresh] = True
                 qidx_parts.append(np.full(len(fresh), i, dtype=np.int64))
                 nbr_parts.append(fresh.astype(np.int64))
-                counts[i] = len(fresh)
         if not still:
             break
         active = still
@@ -579,15 +684,27 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms):
         ids = np.concatenate(nbr_parts)
         ds = dists_for(qidx, ids)
         pos = 0
-        for part_q, part_n in zip(qidx_parts, nbr_parts):
-            i = int(part_q[0])
+        for part_n in nbr_parts:
+            i = int(qidx[pos])
             w = ws[i]
             f = frontiers[i]
-            for nid, nd in zip(part_n.tolist(), ds[pos : pos + len(part_n)].tolist()):
+            seg = ds[pos : pos + len(part_n)]
+            pos += len(part_n)
+            if len(w) >= beam:
+                # vectorized prefilter against the round-start worst:
+                # exact-equal to the per-candidate check below, because
+                # the worst of a full working set only *improves* during
+                # the admission loop — anything >= worst now would also
+                # be rejected at its turn (lib.rs:678-686 semantics)
+                keep = seg < -w[0][0]
+                if not keep.any():
+                    continue
+                part_n = part_n[keep]
+                seg = seg[keep]
+            for nid, nd in zip(part_n.tolist(), seg.tolist()):
                 if len(w) < beam or nd < -w[0][0]:
                     heapq.heappush(f, (nd, nid))
                     _admit(w, nd, nid, beam)
-            pos += len(part_n)
 
     results = []
     for i in range(B):

@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from rust_diskann_spark.core import vamana
 from rust_diskann_spark.params import IndexParams
 
-GRAPH_SCHEMA = "shard INT, id BIGINT, neighbors ARRAY<BIGINT>, medoid BIGINT"
+GRAPH_SCHEMA = (
+    "shard INT, id BIGINT, neighbors ARRAY<BIGINT>, medoid BIGINT, "
+    "entries ARRAY<BIGINT>"
+)
 
 
 def assign_shards(
@@ -103,6 +106,11 @@ def build_graph(vectors: DataFrame, params: IndexParams) -> DataFrame:
         graph, medoid_local = vamana.build_vamana(
             mat, params, seed=params.seed + shard
         )
+        # farthest-point search entry points (medoid first) — multi-entry
+        # beam search keeps recall on clustered shards (see IndexParams)
+        entries_local = vamana.select_entry_points(
+            mat, params.metric, medoid_local, params.entry_points
+        )
         gids = pdf["id"].to_numpy()  # local ordinal -> global id
         return pd.DataFrame(
             {
@@ -110,6 +118,7 @@ def build_graph(vectors: DataFrame, params: IndexParams) -> DataFrame:
                 "id": gids,
                 "neighbors": [gids[row].tolist() for row in graph.to_lists()],
                 "medoid": int(gids[medoid_local]),
+                "entries": [gids[entries_local].tolist()] * len(gids),
             }
         )
 

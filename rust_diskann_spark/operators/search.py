@@ -63,9 +63,11 @@ def search(
         F.col("query_id").cast("long").alias("query_id"), F.col("qvec")
     ).crossJoin(F.broadcast(shards))
 
-    side = index_vectors.join(
-        index_graph.select("shard", "id", "neighbors", "medoid"), ["shard", "id"]
-    )
+    graph_cols = ["shard", "id", "neighbors", "medoid"]
+    has_entries = "entries" in index_graph.columns  # pre-r1 indexes lack it
+    if has_entries:
+        graph_cols.append("entries")
+    side = index_vectors.join(index_graph.select(*graph_cols), ["shard", "id"])
 
     group_keys = ["shard"]
     if query_blocks > 1:
@@ -103,12 +105,18 @@ def search(
         ]
         graph = vamana.graph_from_lists(lists, max_degree=1)
         medoid_local = pos[int(index_pdf["medoid"].iloc[0])]
+        ent = None
+        if has_entries:
+            ent = np.array(
+                [pos[int(g)] for g in index_pdf["entries"].iloc[0]],
+                dtype=np.int64,
+            )
         sqn = vamana.sq_norms(mat) if metric == "l2" else None
         out_q, out_i, out_d = [], [], []
         qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=dtype)
         results = vamana.beam_search_batch(
             mat, graph, metric, medoid_local, qmat, per_shard_k, beam_width,
-            sqnorms=sqn,
+            sqnorms=sqn, entries=ent,
         )
         for qid, (ids, dists) in zip(q_pdf["query_id"], results):
             out_q.extend([int(qid)] * len(ids))
@@ -152,9 +160,11 @@ def materialize_shards(
     """
     metric = params.metric
     dtype = np.int64 if metric == "hamming" else np.float32
-    side = index_vectors.join(
-        index_graph.select("shard", "id", "neighbors", "medoid"), ["shard", "id"]
-    )
+    graph_cols = ["shard", "id", "neighbors", "medoid"]
+    has_entries = "entries" in index_graph.columns  # pre-r1 indexes lack it
+    if has_entries:
+        graph_cols.append("entries")
+    side = index_vectors.join(index_graph.select(*graph_cols), ["shard", "id"])
     shards: dict[int, tuple] = {}
     for shard_id, pdf in side.toPandas().groupby("shard"):
         pdf = pdf.sort_values("id").reset_index(drop=True)
@@ -164,8 +174,13 @@ def materialize_shards(
         lists = [[pos[int(g)] for g in nbrs] for nbrs in pdf["neighbors"]]
         graph = vamana.graph_from_lists(lists, max_degree=1)
         medoid_local = pos[int(pdf["medoid"].iloc[0])]
+        ent = None
+        if has_entries:
+            ent = np.array(
+                [pos[int(g)] for g in pdf["entries"].iloc[0]], dtype=np.int64
+            )
         sqn = vamana.sq_norms(mat) if metric == "l2" else None
-        shards[int(shard_id)] = (gids, mat, graph, medoid_local, sqn)
+        shards[int(shard_id)] = (gids, mat, graph, medoid_local, sqn, ent)
     return shards
 
 
@@ -236,7 +251,9 @@ def broadcast_search(
             else:
                 probe_sets = None
             cand: list[list[tuple[float, int]]] = [[] for _ in range(len(qmat))]
-            for s_idx, (gids, mat, graph, medoid_local, sqn) in enumerate(shard_list):
+            for s_idx, (gids, mat, graph, medoid_local, sqn, ent) in enumerate(
+                shard_list
+            ):
                 if probe_sets is None:
                     sel = np.arange(len(qmat))
                 else:
@@ -245,7 +262,7 @@ def broadcast_search(
                         continue
                 results = vamana.beam_search_batch(
                     mat, graph, metric, medoid_local, qmat[sel],
-                    max(k, beam_width), beam_width, sqnorms=sqn,
+                    max(k, beam_width), beam_width, sqnorms=sqn, entries=ent,
                 )
                 for qi, (ids, dists) in zip(sel, results):
                     cand[qi].extend(zip(dists.tolist(), gids[ids].tolist()))

@@ -49,6 +49,12 @@ class IndexParams:
     #   IVF-style shard routing (search_with_dists(shard_probes=p)) where
     #   only the p nearest shards are scanned.
     shard_by: str = "hash"
+    # number of beam-search entry points per shard (farthest-point sampled
+    # at build, medoid first). The reference enters at the medoid only
+    # (lib.rs:648); extra entries are an engine robustness extension —
+    # on strongly clustered shards a single entry point strands the search
+    # in the medoid's cluster. 1 = exact reference behavior.
+    entry_points: int = 8
 
     def __post_init__(self) -> None:
         if self.metric not in SUPPORTED_METRICS:

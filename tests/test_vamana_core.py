@@ -145,3 +145,56 @@ def test_beam_search_batch_bitequal_to_sequential():
     for i, q in enumerate(Q[:10]):
         ids, ds = beam_search(mat, g, "cosine", med, q, 5, 32)
         assert ids.tolist() == batch_c[i][0].tolist()
+
+
+def test_connectivity_repair_and_entry_points_on_clustered_data():
+    """Strongly clustered shards are the failure mode for single-entry
+    Vamana: alpha-pruning fills every out-list with same-cluster
+    neighbors and components disconnect. The engine must (a) repair
+    connectivity post-build and (b) recover recall via farthest-point
+    entry seeding (IndexParams.entry_points)."""
+    import numpy as np
+    from rust_diskann_spark.core import vamana
+    from rust_diskann_spark.params import IndexParams
+
+    rng = np.random.default_rng(7)
+    C, per, d = 8, 100, 32
+    centers = rng.standard_normal((C, d)) * 4.0
+    mat = (
+        centers[np.repeat(np.arange(C), per)]
+        + 0.25 * rng.standard_normal((C * per, d))
+    ).astype(np.float32)
+    p = IndexParams(max_degree=16, build_beam_width=32, seed=3)
+    g, med = vamana.build_vamana(mat, p, seed=3)
+
+    # (a) every node reachable from the medoid (repair ran)
+    seen = {med}
+    stack = [med]
+    while stack:
+        u = stack.pop()
+        for v in g.neighbors(u):
+            if int(v) not in seen:
+                seen.add(int(v))
+                stack.append(int(v))
+    assert len(seen) == C * per
+
+    # (b) farthest-point entries cover every cluster...
+    ents = vamana.select_entry_points(mat, "l2", med, C)
+    assert sorted(set(int(e) // per for e in ents)) == list(range(C))
+    # ...and multi-entry search recalls across clusters
+    q = (centers + 0.25 * rng.standard_normal((C, d))).astype(np.float32)
+    res = vamana.beam_search_batch(
+        mat, g, "l2", med, q, 10, 64, entries=ents
+    )
+    m64 = mat.astype(np.float64)
+    hits = 0
+    for i, (ids, _) in enumerate(res):
+        exact = np.argsort(
+            np.linalg.norm(m64 - q[i].astype(np.float64), axis=1),
+            kind="stable",
+        )[:10]
+        hits += len(set(ids.tolist()) & set(exact.tolist()))
+    assert hits / (C * 10) >= 0.9
+
+    # degree bound survives bridging (reference invariant lib.rs:1111-1132)
+    assert int(g.deg.max()) <= p.max_degree
