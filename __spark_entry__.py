@@ -318,16 +318,23 @@ def _recall_metrics_oracle() -> str:
 _ANN_PARAMS = dict(max_degree=32, build_beam_width=64, seed=42, num_shards=2)
 
 
-def _ann_query(metric: str):
+def _ann_query(metric: str, merged: bool = False):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = _t(spark, sf_dir, "embeddings")
         vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        tag = f"{metric}_m" if merged else metric
         path = os.path.join(
             tempfile.gettempdir(),
-            f"rds_idx_{metric}_{abs(hash(sf_dir)) % 10**8}",
+            f"rds_idx_{tag}_{abs(hash(sf_dir)) % 10**8}",
+        )
+        extra = (
+            dict(merge_shards=True, shard_overlap=2, num_shards=4)
+            if merged
+            else {}
         )
         idx = build_index(
-            vectors, path, params=IndexParams(metric=metric, **_ANN_PARAMS)
+            vectors, path,
+            params=IndexParams(metric=metric, **{**_ANN_PARAMS, **extra}),
         )
         res = idx.search_with_dists(_qset(spark, sf_dir), k=K, beam_width=128)
         return res.select("query_id", "rank", "id", F.round("dist", RND).alias("dist"))
@@ -1055,6 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_metrics": _recall_metrics,
         "ann_search_l2": _ann_query("l2"),
         "ann_search_cosine": _ann_query("cosine"),
+        # DiskANN-paper merged build: overlapped kmeans shards unioned
+        # into one global graph — one beam search per query at search
+        "ann_search_merged": _ann_query("l2", merged=True),
         "ivf_knn_fullprobe": _ivf_query(_IVF_CELLS),
         "ivf_knn_probe2": _ivf_query(2),
         "ivf_recall_probe2": _ivf_recall_probe(2),

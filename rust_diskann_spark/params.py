@@ -55,6 +55,17 @@ class IndexParams:
     # on strongly clustered shards a single entry point strands the search
     # in the medoid's cluster. 1 = exact reference behavior.
     entry_points: int = 8
+    # merged-index build (DiskANN paper §4, "Indexing larger datasets"):
+    # assign every point to its `shard_overlap` nearest k-means centroids,
+    # build an independent Vamana graph per overlapped shard in parallel,
+    # then UNION each point's out-edges across its shards into ONE global
+    # graph. Search runs a single beam search per query on the merged
+    # graph instead of one per shard — resolving the shard-count tension
+    # of README.md:157's shard-and-merge (every query pays k' per shard).
+    # Merged degree bound is shard_overlap * max_degree (the paper keeps
+    # the union; occlusion pruning already happened per shard).
+    merge_shards: bool = False
+    shard_overlap: int = 2
 
     def __post_init__(self) -> None:
         if self.metric not in SUPPORTED_METRICS:
@@ -73,6 +84,12 @@ class IndexParams:
             raise ValueError("num_shards must be >= 1")
         if self.shard_by not in ("hash", "kmeans"):
             raise ValueError("shard_by must be 'hash' or 'kmeans'")
+        if self.shard_overlap < 1:
+            raise ValueError("shard_overlap must be >= 1")
+        if self.merge_shards and self.metric == "hamming":
+            raise ValueError(
+                "merge_shards requires a float metric (kmeans assignment)"
+            )
 
     @property
     def slack_limit(self) -> int:

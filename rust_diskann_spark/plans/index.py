@@ -8,12 +8,14 @@ lib.rs:450-496: read + validate metadata eagerly, load the tables lazily.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rust_diskann_spark.operators import build as build_ops
+from rust_diskann_spark.operators import medoid as medoid_ops
 from rust_diskann_spark.operators import search as search_ops
 from rust_diskann_spark.params import IndexParams
 from rust_diskann_spark.sources import index_store, vectors as vector_src
@@ -126,8 +128,11 @@ class DiskANNIndex:
     def warm(self) -> "DiskANNIndex":
         """Pin the index in executor memory — the analog of the reference's
         mmap page-cache warm-up (README.md:37). Under the broadcast
-        threshold this also pre-materializes the shard broadcast, so the
-        first query batch pays zero index-load cost."""
+        threshold this also pre-materializes the shard broadcast AND runs
+        one untimed probe batch (one trivial query per core) so every
+        reused python worker unpickles the broadcast NOW — measured 3.7x
+        first-batch throughput otherwise lost to worker-side index load
+        (the reference likewise excludes open/mmap from its QPS)."""
         self.vectors = self.vectors.persist()
         self.graph = self.graph.persist()
         self.vectors.count()
@@ -138,6 +143,16 @@ class DiskANNIndex:
             BROADCAST_INDEX_THRESHOLD
         ):
             self._broadcast_shards()
+            par = self.spark.sparkContext.defaultParallelism
+            elem_sql = "bigint" if m.elem_type == "long" else "float"
+            probe = self.spark.range(par).select(
+                F.col("id").alias("query_id"),
+                F.array_repeat(F.lit(0).cast(elem_sql), m.dim).alias("qvec"),
+            )
+            search_ops.broadcast_search(
+                probe, self.vectors, self.graph, self.params, k=1,
+                beam_width=1, shards_bc=self._shards_bc,
+            ).count()
         return self
 
 
@@ -161,11 +176,43 @@ def build_index(
 
     dim = vector_src.validate_vectors(vectors)
     n = vectors.count()
-    sharded = build_ops.assign_shards(
-        vectors.select("id", "vec"), params.num_shards,
-        params.shard_by, params.metric, params.seed,
-    )
-    graph = build_ops.build_graph(sharded, params)
+    base = vectors.select("id", "vec")
+    num_shards_eff = params.num_shards
+    max_degree_eff = params.max_degree
+    if params.merge_shards and params.num_shards > 1:
+        # DiskANN-paper merged build (§4): overlapped kmeans shards ->
+        # parallel per-shard Vamana -> edge-union into ONE global graph.
+        # Search then pays a single beam search per query (vs one per
+        # shard under README.md:157 shard-and-merge).
+        overlap = min(params.shard_overlap, params.num_shards)
+        sharded_ov = build_ops.assign_shards_overlapped(
+            base, params.num_shards, overlap, params.metric, params.seed
+        )
+        raw_graph = build_ops.build_graph(sharded_ov, params)
+        # lineage cut: persist the expensive per-shard build once, then
+        # derive medoids + merge from the parquet, not a recompute
+        raw_path = os.path.join(path, "graph_shards.parquet")
+        raw_graph.write.mode("overwrite").partitionBy("shard").parquet(raw_path)
+        raw_df = spark.read.parquet(raw_path)
+        shard_medoids = sorted(
+            int(r["medoid"]) for r in raw_df.select("medoid").distinct().collect()
+        )
+        gmed = int(
+            medoid_ops.medoid(base, params.metric).collect()[0]["medoid_id"]
+        )
+        # entry points: global medoid first, then the kmeans-spread shard
+        # medoids — one entry per spatial cell, the merged-graph analog of
+        # per-shard farthest-point entries
+        entries = [gmed] + [m for m in shard_medoids if m != gmed]
+        graph = build_ops.merge_shard_graphs(raw_df, entries, gmed)
+        sharded = base.withColumn("shard", F.lit(0).cast("int"))
+        num_shards_eff = 1
+        max_degree_eff = overlap * params.max_degree
+    else:
+        sharded = build_ops.assign_shards(
+            base, params.num_shards, params.shard_by, params.metric, params.seed
+        )
+        graph = build_ops.build_graph(sharded, params)
 
     index_store.write_index_tables(path, sharded, graph)
     # re-read so downstream plans scan parquet (pruned, pushed-down) rather
@@ -178,10 +225,10 @@ def build_index(
     meta = index_store.IndexMetadata(
         dim=dim,
         num_vectors=n,
-        max_degree=params.max_degree,
+        max_degree=max_degree_eff,
         metric=params.metric,
         elem_type="long" if params.metric == "hamming" else "float",
-        num_shards=params.num_shards,
+        num_shards=num_shards_eff,
         medoids=medoids,
         build_beam_width=params.build_beam_width,
         alpha=params.alpha,

@@ -35,6 +35,11 @@ Q = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
 # only hash shards + scan-all works (recorded r1: 4/16 probes -> 0.24
 # recall on isotropic data vs ~parity on clustered)
 CORPUS = sys.argv[3] if len(sys.argv) > 3 else "clustered"
+# build mode: "sharded" = README.md:157 shard-and-merge (every query
+# scans every shard); "merged" = DiskANN-paper overlapped-cluster build
+# whose per-shard graphs union into ONE global graph (one beam search
+# per query — the search-side fix for the shard-count tension)
+MODE = sys.argv[4] if len(sys.argv) > 4 else "sharded"
 CLUSTERS = 64
 SPREAD = 0.25  # within-cluster stddev relative to unit center scale
 DIM = 128
@@ -98,10 +103,17 @@ def main() -> None:
     # k' from every shard — README.md:157); CPUS/2 is a good middle locally.
     # Clustered corpora use k-means locality shards so probe routing has
     # real locality to exploit; isotropic ones use hash + scan-all.
-    n_shards = max(2, int(CPUS) // 2)
+    # sharded mode: shard count balances build parallelism against the
+    # per-query shard multiplier at search (README.md:157) — CPUS/2.
+    # merged mode: num_shards = k-means CELL count; cells should track
+    # the corpus's neighborhood structure (one per natural cluster here)
+    # — each cell is one coherent build task, search cost is
+    # cell-count-independent (one merged graph).
+    n_shards = CLUSTERS if MODE == "merged" else max(2, int(CPUS) // 2)
     params = IndexParams(
         max_degree=32, build_beam_width=64, num_shards=n_shards, seed=42,
         shard_by="kmeans" if CORPUS == "clustered" else "hash",
+        merge_shards=(MODE == "merged"),
     )
     idx_path = os.path.join(tempfile.gettempdir(), "rds_scale_idx")
     shutil.rmtree(idx_path, ignore_errors=True)
@@ -125,11 +137,15 @@ def main() -> None:
     # NOTE: on structureless gaussians this recovers only ~p/num_shards
     # of the neighbors (measured r1: recall 0.27 with kmeans shards) —
     # probing pays only when the data has cluster structure; hash
-    # sharding + scan-all is the right default for uniform data
-    t0 = time.perf_counter()
-    res_p = idx.search_with_dists(queries, k=K, beam_width=BEAM, shard_probes=4)
-    res_p.count()
-    probed_s = time.perf_counter() - t0
+    # sharding + scan-all is the right default for uniform data.
+    # (skipped in merged mode: the merged index is one logical shard)
+    probed_s = None
+    res_p = None
+    if MODE != "merged":
+        t0 = time.perf_counter()
+        res_p = idx.search_with_dists(queries, k=K, beam_width=BEAM, shard_probes=4)
+        res_p.count()
+        probed_s = time.perf_counter() - t0
 
     # recall vs exact GT on a query sample, computed driver-side with one
     # numpy matmul (the SQL-fold exact path would evaluate n_q*N pairs —
@@ -163,13 +179,14 @@ def main() -> None:
         return hits / float(n_gt * K)
 
     recall = recall_of(res)
-    recall_p = recall_of(res_p)
+    recall_p = recall_of(res_p) if res_p is not None else None
 
     print(
         json.dumps(
             {
                 "metric": "scale_demo",
                 "corpus": CORPUS,
+                "mode": MODE,
                 "n_vectors": N,
                 "dim": DIM,
                 "n_queries": n_q,
@@ -178,9 +195,11 @@ def main() -> None:
                 "search_sec": round(search_s, 2),
                 "search_qps": round(n_q / search_s, 1),
                 "recall_at_10": round(recall, 5),
-                "probed4_search_sec": round(probed_s, 2),
-                "probed4_qps": round(n_q / probed_s, 1),
-                "probed4_recall_at_10": round(recall_p, 5),
+                "probed4_search_sec": round(probed_s, 2) if probed_s else None,
+                "probed4_qps": round(n_q / probed_s, 1) if probed_s else None,
+                "probed4_recall_at_10": (
+                    round(recall_p, 5) if recall_p is not None else None
+                ),
                 "beam_width": BEAM,
                 "params": {"max_degree": 32, "build_beam_width": 64,
                            "num_shards": n_shards, "shard_by": params.shard_by},

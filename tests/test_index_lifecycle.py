@@ -189,3 +189,118 @@ def test_shard_probe_routing(spark, tmp_path):
     # even a single probed shard recovers (nearly) everything
     hits = probed.join(full.select("query_id", "id"), ["query_id", "id"]).count()
     assert hits / full.count() >= 0.9
+
+
+def test_merged_index_recall_and_invariants(spark, tmp_path):
+    """Merged-index build (DiskANN paper overlapped-cluster merge): the
+    per-shard graphs union into ONE global graph (metadata num_shards=1),
+    degree bounded by shard_overlap*max_degree, recall >= 0.95 on a
+    clustered corpus — the data shape where naive locality shards lose
+    neighbors that straddle cell boundaries."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0.0, 8.0, size=(4, 8))
+    mat = np.concatenate(
+        [c + rng.normal(0.0, 1.0, size=(150, 8)) for c in centers]
+    ).astype(np.float32)
+    n = len(mat)
+    df = _vec_df(spark, [(i, mat[i].tolist()) for i in range(n)])
+    idx = build_index(
+        df,
+        str(tmp_path / "idx"),
+        max_degree=12,
+        build_beam_width=32,
+        num_shards=4,
+        merge_shards=True,
+        shard_overlap=2,
+    )
+    assert idx.meta.num_shards == 1
+    assert idx.meta.max_degree == 24  # overlap * max_degree
+    assert degree_invariant_violations(idx.graph, 24) == 0
+    # reopen from disk: merged layout round-trips
+    idx2 = open_index(spark, str(tmp_path / "idx"))
+    assert idx2.meta.num_shards == 1
+
+    qdf = spark.createDataFrame(
+        [(i, mat[i * 37 % n].tolist()) for i in range(12)],
+        "query_id long, qvec array<float>",
+    )
+    ann = idx2.search_with_dists(qdf, k=10, beam_width=32)
+    exact = exact_knn(
+        qdf,
+        df,
+        k=10,
+    )
+    hits = ann.join(exact, ["query_id", "id"], "inner").count()
+    assert hits / (12 * 10) >= 0.95
+
+
+def test_merged_build_deterministic(spark, tmp_path):
+    """Same seed -> bit-identical merged adjacency (kmeans init, per-shard
+    builds, and the edge-union are all seeded/sorted)."""
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((200, 6)).astype(np.float32)
+    df = _vec_df(spark, [(i, mat[i].tolist()) for i in range(200)])
+
+    def graph_rows(path):
+        idx = build_index(
+            df, path, max_degree=8, build_beam_width=16, num_shards=3,
+            merge_shards=True, shard_overlap=2, seed=11,
+        )
+        return sorted(
+            (r["id"], tuple(r["neighbors"]))
+            for r in idx.graph.select("id", "neighbors").collect()
+        )
+
+    assert graph_rows(str(tmp_path / "a")) == graph_rows(str(tmp_path / "b"))
+
+
+def test_merged_index_megacell_split(spark, tmp_path, monkeypatch):
+    """Skew control: a degenerate centroid model (one live centroid owning
+    90% of the corpus — the measured 2-iter-Lloyd failure mode) must
+    trigger the mega-cell hash-split so no build unit exceeds ~2x the
+    target cell size, and multi-entry search must keep recall >= 0.9
+    across the split subgraphs."""
+    from rust_diskann_spark.operators import build as build_mod
+    from rust_diskann_spark.operators import ivf
+
+    rng = np.random.default_rng(5)
+    big = rng.normal(0.0, 0.3, size=(540, 8)) + 5.0
+    rest = rng.normal(0.0, 0.3, size=(60, 8)) - 5.0
+    mat = np.concatenate([big, rest]).astype(np.float32)
+    n = len(mat)
+    df = _vec_df(spark, [(i, mat[i].tolist()) for i in range(n)])
+
+    # force the failure mode: one centroid per true cluster + two dead
+    # ones far away, so the 540-point cluster IS one indivisible cell
+    bad_cents = np.array(
+        [[5.0] * 8, [-5.0] * 8, [100.0] * 8, [200.0] * 8], dtype=np.float64
+    )
+    monkeypatch.setattr(
+        ivf, "kmeans_centroids", lambda *a, **k: bad_cents
+    )
+    sharded = build_mod.assign_shards_overlapped(
+        df, num_shards=4, overlap=1, seed=9
+    )
+    unit_sizes = {
+        int(r["shard"]): int(r["cnt"])
+        for r in sharded.groupBy("shard").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    }
+    total = sum(unit_sizes.values())
+    cap = 2 * (-(-total // 4))
+    assert len(unit_sizes) >= 3, unit_sizes  # the mega-cell split
+    assert max(unit_sizes.values()) <= cap, unit_sizes
+
+    idx = build_index(
+        df, str(tmp_path / "idx"), max_degree=10, build_beam_width=24,
+        num_shards=4, merge_shards=True, shard_overlap=2, seed=9,
+    )
+    qdf = spark.createDataFrame(
+        [(i, mat[i * 29 % n].tolist()) for i in range(10)],
+        "query_id long, qvec array<float>",
+    )
+    ann = idx.search_with_dists(qdf, k=10, beam_width=32)
+    exact = exact_knn(qdf, df, k=10)
+    hits = ann.join(exact, ["query_id", "id"], "inner").count()
+    assert hits / (10 * 10) >= 0.9
