@@ -729,11 +729,18 @@ def _mm_audio_oracle() -> str:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the fixture's ts is TIMESTAMP(NANOS) parquet, which Spark only reads
-    # as a long; normalize to integer microseconds for full DuckDB parity
+    # fixture ts is either TIMESTAMP(NANOS) parquet (readable only as a
+    # long under nanosAsLong) or plain TIMESTAMP micros; normalize to
+    # integer microseconds for full DuckDB parity either way. NTZ is cast
+    # through TIMESTAMP (session tz pinned to UTC) so unix_micros matches
+    # DuckDB's epoch_us over naive timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us)
 
 
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,13 +42,15 @@ def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize the events table's timestamp to a proper event-time
     column ``event_ts`` (the fixture's ts is nanos-as-long under
     ``spark.sql.legacy.parquet.nanosAsLong``)."""
-    event_ts = (
+    if dict(events.dtypes).get(ts_col) == "bigint":
         # integer `div`, NOT `/`: nanos exceed double precision and float
         # division drifts by +-1 us
-        F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
-        if dict(events.dtypes).get(ts_col) == "bigint"
-        else F.col(ts_col)
-    )
+        event_ts = F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+    else:
+        # TIMESTAMP or TIMESTAMP_NTZ; cast through TIMESTAMP (session tz
+        # is pinned to UTC) so downstream unix_micros/session_window agree
+        # with the DuckDB oracle's naive-timestamp epoch_us
+        event_ts = F.col(ts_col).cast("timestamp")
     return events.withColumn("event_ts", event_ts)
 
 
