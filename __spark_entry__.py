@@ -192,22 +192,29 @@ def _medoid_oracle() -> str:
 
 
 def _normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posexploded to scalar (vec_id, pos, val) rows: the driver's oracle
+    # harness canonicalizes via pandas sort, which cannot hash ARRAY cells.
     emb = _t(spark, sf_dir, "embeddings")
     normed = l2_normalize_expr(F.col("embedding"))
     return emb.select(
         F.col("vec_id"),
-        F.transform(normed, lambda x: F.round(x, RND) + F.lit(0.0)).alias("unit_vec"),
-    )
+        F.posexplode(F.transform(normed, lambda x: F.round(x, RND) + F.lit(0.0))),
+    ).select("vec_id", F.col("pos"), F.col("col").alias("val"))
 
 
 def _normalize_oracle() -> str:
     return f"""
-        select vec_id,
-               list_transform(embedding::double[],
-                 x -> round(x / sqrt(list_reduce(list_prepend(0.0::double,
-                       list_transform(embedding::double[], y -> y * y)), (a, b) -> a + b)), {RND}) + 0.0
-               ) as unit_vec
-        from embeddings
+        with u as (
+          select vec_id,
+                 list_transform(embedding::double[],
+                   x -> round(x / sqrt(list_reduce(list_prepend(0.0::double,
+                         list_transform(embedding::double[], y -> y * y)), (a, b) -> a + b)), {RND}) + 0.0
+                 ) as unit_vec
+          from embeddings
+        )
+        select vec_id, generate_subscripts(unit_vec, 1) - 1 as pos,
+               unnest(unit_vec) as val
+        from u
     """
 
 
@@ -342,6 +349,67 @@ def _ann_query(metric: str, merged: bool = False):
     return run
 
 
+# Exact-degenerate ANN contract queries (FIXTURES.md F1-F5 regime): on a
+# corpus with n <= beam_width the greedy beam search expands every reachable
+# node of a connected graph, so ANN provably degenerates to exact kNN and the
+# brute-force oracle (D5) applies to the *graph* path. This is the oracle row
+# for A7/A11 that the full-size ann_search_* queries (approximate regime,
+# rows-only) cannot provide.
+
+_ANN_SMALL_N = 48  # <= search beam 128; each 2-shard half <= max_degree 32
+
+
+def _ann_degenerate_query(metric: str, merged: bool = False):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _ANN_SMALL_N)
+        vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        tag = f"small_{metric}_m" if merged else f"small_{metric}"
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"rds_idx_{tag}_{abs(hash(sf_dir)) % 10**8}",
+        )
+        extra = (
+            dict(merge_shards=True, shard_overlap=2, num_shards=4)
+            if merged
+            else {}
+        )
+        idx = build_index(
+            vectors, path,
+            params=IndexParams(metric=metric, **{**_ANN_PARAMS, **extra}),
+        )
+        res = idx.search_with_dists(_qset(spark, sf_dir), k=K, beam_width=128)
+        # ids/ranks come from the graph search; dist is re-scored with the
+        # same double-precision JVM expression the exact path uses so the
+        # rounding matches the oracle bit-for-bit.
+        return (
+            res.select("query_id", "rank", "id")
+            .join(vectors, "id")
+            .join(_qset(spark, sf_dir), "query_id")
+            .select(
+                "query_id", "rank", "id",
+                (F.round(distance_expr(metric, F.col("qvec"), F.col("vec")), RND)
+                 + F.lit(0.0)).alias("dist"),
+            )
+        )
+
+    return run
+
+
+def _ann_degenerate_oracle(metric: str) -> str:
+    d = _DIST_SQL[metric].format(a="e.embedding", b="q.qvec")
+    return f"""
+        with q as ({_Q_SQL}),
+        e as (select * from embeddings where vec_id < {_ANN_SMALL_N}),
+        scored as (
+          select q.query_id, e.vec_id as id, {d} as dist,
+                 row_number() over (partition by q.query_id order by {d}, e.vec_id) as rank
+          from e cross join q
+        )
+        select query_id, rank, id, (round(dist, {RND}) + 0.0) as dist
+        from scored where rank <= {K}
+    """
+
+
 # ---------------------------------------------------------------------------
 # IVF similarity search (scale path; full-probe variant is exact => oracle)
 # ---------------------------------------------------------------------------
@@ -377,6 +445,23 @@ def _ivf_recall_probe(n_probe: int):
         )
 
     return run
+
+
+def _ivf_self_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable property of the probe path (n_probe=2): every query
+    is itself a corpus member, its own cell is by definition its nearest
+    centroid's cell, so rank-1 must be the query itself at dist 0. A missed
+    self-hit means the probe routing is wrong — this turns the approximate
+    IVF path's correctness from 'rows-only' into a rows_match check."""
+    res = _ivf_query(2)(spark, sf_dir)
+    return res.filter(F.col("rank") == 1).select("query_id", "id", "dist")
+
+
+def _ivf_self_hit_oracle() -> str:
+    return """
+        select vec_id as query_id, vec_id as id, 0.0 as dist
+        from embeddings where vec_id % 100 = 0
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -417,14 +502,23 @@ def _dedup_exact_oracle() -> str:
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_signatures(_docs(spark, sf_dir))
+    # signature ARRAY<BIGINT> joined to one string cell: the driver's oracle
+    # harness cannot hash list cells. Bigint -> string renders identically in
+    # Spark and DuckDB (no scientific notation).
+    sigs = DD.minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id",
+        F.array_join(
+            F.transform("signature", lambda x: x.cast("string")), "-"
+        ).alias("signature"),
+    )
 
 
 def _minhash_sigs_oracle() -> str:
     toks = TX.sql_tokens("text")
     sig = TX.sql_minhash_signature(TX.sql_word_ngrams(toks, 3))
     return f"""
-        select doc_id, {sig} as signature from documents
+        select doc_id, array_to_string({sig}, '-') as signature from documents
         where len({toks}) >= 3
     """
 
@@ -575,6 +669,25 @@ def _emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id_a", "id_b", F.round("cosine_sim", RND).alias("cosine_sim"))
 
 
+def _emb_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable completeness of the LSH path: identical twins hash
+    to the same bucket in every table, so the candidate set must contain
+    every planted pair exactly (cosine_sim 1.0). A missing row means the
+    bucketing lost a true duplicate — rows_match where the full LSH output
+    (which legitimately includes extra true near-dups) cannot be SQL'd."""
+    res = DD.embedding_near_duplicates_lsh(_emb_with_dups(spark, sf_dir), 0.95)
+    return res.filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") % 50 == 0)
+    ).select("id_a", "id_b", F.round("cosine_sim", RND).alias("cosine_sim"))
+
+
+def _emb_lsh_planted_oracle() -> str:
+    return """
+        select vec_id as id_a, vec_id + 1000000 as id_b, 1.0 as cosine_sim
+        from embeddings where vec_id % 50 = 0
+    """
+
+
 # ---------------------------------------------------------------------------
 # text-analysis queries (documents)
 # ---------------------------------------------------------------------------
@@ -657,21 +770,32 @@ def _blobs(spark: SparkSession, sf_dir: str, modality: str = "image") -> DataFra
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # features posexploded to scalar (pos, feat) rows: the driver's oracle
+    # harness cannot hash ARRAY cells.
     res = MM.decode_image_features(_blobs(spark, sf_dir))
     return res.select(
         "id", "modality", "n_bytes", "content_hash", "width", "height",
-        F.transform("features", lambda x: F.round(x, RND)).alias("features"),
+        F.posexplode(F.transform("features", lambda x: F.round(x, RND))),
+    ).select(
+        "id", "modality", "n_bytes", "content_hash", "width", "height",
+        "pos", F.col("col").alias("feat"),
     )
 
 
 def _mm_features_oracle() -> str:
     f = MM.sql_image_features("text")
     return f"""
-        select doc_id as id, 'image' as modality,
-               {f['n_bytes']} as n_bytes, {f['content_hash']} as content_hash,
-               {f['width']} as width, {f['height']} as height,
-               list_transform({f['features']}, x -> round(x, {RND})) as features
-        from documents
+        with g as (
+          select doc_id as id, 'image' as modality,
+                 {f['n_bytes']} as n_bytes, {f['content_hash']} as content_hash,
+                 {f['width']} as width, {f['height']} as height,
+                 list_transform({f['features']}, x -> round(x, {RND})) as features
+          from documents
+        )
+        select id, modality, n_bytes, content_hash, width, height,
+               generate_subscripts(features, 1) - 1 as pos,
+               unnest(features) as feat
+        from g
     """
 
 
@@ -901,21 +1025,28 @@ def _top_suppliers_oracle() -> str:
 def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous quantiles per event_type (order statistics — the
     sort-based path; approx sketches trade this for mergeability)."""
+    # one scalar column per quantile: the driver's oracle harness cannot
+    # hash ARRAY cells.
     ev = _events(spark, sf_dir)
     qs = ev.groupBy("event_type").agg(
         F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))).alias("q")
     )
     return qs.select(
         "event_type",
-        F.transform("q", lambda x: F.round(x, RND)).alias("quantiles"),
+        F.round(F.col("q")[0], RND).alias("q25"),
+        F.round(F.col("q")[1], RND).alias("q50"),
+        F.round(F.col("q")[2], RND).alias("q75"),
+        F.round(F.col("q")[3], RND).alias("q90"),
     )
 
 
 def _value_quantiles_oracle() -> str:
     return f"""
         select event_type,
-               list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.9]),
-                              x -> round(x, {RND})) as quantiles
+               round(quantile_cont(value, 0.25), {RND}) as q25,
+               round(quantile_cont(value, 0.50), {RND}) as q50,
+               round(quantile_cont(value, 0.75), {RND}) as q75,
+               round(quantile_cont(value, 0.90), {RND}) as q90
         from events group by event_type
     """
 
@@ -1072,9 +1203,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DiskANN-paper merged build: overlapped kmeans shards unioned
         # into one global graph — one beam search per query at search
         "ann_search_merged": _ann_query("l2", merged=True),
+        # exact-degenerate regime (n <= beam): graph search provably == exact
+        # kNN, giving A7/A11 a real oracle row (FIXTURES.md F1-F5)
+        "ann_oracle_l2": _ann_degenerate_query("l2"),
+        "ann_oracle_cosine": _ann_degenerate_query("cosine"),
+        "ann_oracle_merged": _ann_degenerate_query("l2", merged=True),
         "ivf_knn_fullprobe": _ivf_query(_IVF_CELLS),
         "ivf_knn_probe2": _ivf_query(2),
         "ivf_recall_probe2": _ivf_recall_probe(2),
+        "ivf_self_hit": _ivf_self_hit,
         # dedup suite
         "dedup_exact": _dedup_exact,
         "minhash_signatures": _minhash_sigs,
@@ -1085,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _simhash_pairs,
         "embedding_near_dups": _emb_near_dups,
         "embedding_near_dups_lsh": _emb_near_dups_lsh,
+        "embedding_lsh_planted": _emb_lsh_planted,
         # multimodal
         "multimodal_image_features": _mm_features,
         "multimodal_resize": _mm_resize,
@@ -1120,10 +1258,16 @@ def oracle_sql() -> dict[str, str]:
         "l2_normalize": _normalize_oracle(),
         "vector_point_lookup": _point_lookup_oracle(),
         "recall_metrics": _recall_metrics_oracle(),
-        # ann_search_* are graph-dependent (pandas-UDF beam search) — no SQL
+        # ann_search_* are graph-dependent (pandas-UDF beam search) — no SQL;
+        # the exact-degenerate twins below carry the oracle for the graph path
+        "ann_oracle_l2": _ann_degenerate_oracle("l2"),
+        "ann_oracle_cosine": _ann_degenerate_oracle("cosine"),
+        "ann_oracle_merged": _ann_degenerate_oracle("l2"),
         # full-probe IVF scans every cell => exact kNN, same oracle as D5
         "ivf_knn_fullprobe": _knn_oracle("l2"),
-        # ivf_knn_probe2 / ivf_recall_probe2 are approximate — rows-only
+        # ivf_knn_probe2 / ivf_recall_probe2 are approximate — rows-only;
+        # ivf_self_hit pins the probe path's routing property exactly
+        "ivf_self_hit": _ivf_self_hit_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "minhash_signatures": _minhash_sigs_oracle(),
         "minhash_lsh_pairs": _minhash_pairs_oracle(),
@@ -1132,7 +1276,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_sigs_oracle(),
         "simhash_near_dups": _simhash_pairs_oracle(),
         "embedding_near_dups": _emb_near_dups_oracle(),
-        # embedding_near_dups_lsh is approximate — rows-only
+        # embedding_near_dups_lsh is approximate — rows-only; the planted
+        # twin below pins its completeness on known-identical pairs
+        "embedding_lsh_planted": _emb_lsh_planted_oracle(),
         "multimodal_image_features": _mm_features_oracle(),
         "multimodal_resize": _mm_resize_oracle(),
         "multimodal_frame_sample": _mm_frames_oracle(),

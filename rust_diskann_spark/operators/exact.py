@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 
 from rust_diskann_spark.functions.distance import distance_expr
 
+# query-side row count above which the broadcast hint is withheld —
+# mirroring autoBroadcastJoinThreshold's job for the hint we would
+# otherwise force. 50k 128-d f64 queries is ~50 MB per executor; a
+# million-query batch would OOM the broadcast long before the scan
+# breaks. Counted with a bounded `limit(cap+1).count()` probe rather
+# than Catalyst's size estimate, which prices computed array columns at
+# pointer width (measured: 12 B/row for a 64-d array projection).
+# Past the threshold the hint is dropped and Spark builds on whichever
+# side its own stats call smaller (the corpus, for a small corpus; a
+# partitioned cartesian product when both sides are big).
+MAX_BROADCAST_QUERIES = 50_000
+
+
+def _fits_broadcast(q: DataFrame) -> bool:
+    return q.limit(MAX_BROADCAST_QUERIES + 1).count() <= MAX_BROADCAST_QUERIES
+
 
 def exact_knn(
     queries: DataFrame,
@@ -35,17 +51,23 @@ def exact_knn(
     query_vec_col: str = "qvec",
     id_col: str = "id",
     vec_col: str = "vec",
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Exact top-k per query -> (query_id, rank, id, dist).
 
     ``rank`` is 1-based, ordered (dist asc, id asc) — deterministic and
-    oracle-checkable.
+    oracle-checkable. ``broadcast_queries``: None = probe the query side's
+    row count (bounded, :data:`MAX_BROADCAST_QUERIES`); pass an explicit
+    bool to skip the probe job.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qvec")
     )
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
-    scored = c.crossJoin(F.broadcast(q)).select(
+    if broadcast_queries is None:
+        broadcast_queries = _fits_broadcast(q)
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = c.crossJoin(q_side).select(
         "query_id",
         "id",
         distance_expr(metric, F.col("__qvec"), F.col("__vec")).alias("dist"),

@@ -57,6 +57,43 @@ def _assign_map(cents: np.ndarray, metric: str):
     return fn
 
 
+PARTIAL_SCHEMA = "cell INT, n BIGINT, s ARRAY<DOUBLE>"
+
+
+def _partials_map(cents: np.ndarray, metric: str):
+    """Per-PARTITION (cell, count, sum-vector) partials for one Lloyd
+    iteration, fused into the assignment pass: one narrow mapInPandas,
+    no posexplode, no shuffle — only n_partitions x n_cells tiny rows
+    leave the executors. This is the map-side combine the module
+    docstring promises; the round-1 implementation (posexplode ->
+    groupBy(cell,pos)) materialized n x dim rows per iteration and was
+    the dominant cost of ivf_knn_fullprobe (VERDICT r1)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            d = numpy_distance_matrix(metric, mat, cents)
+            cell = d.argmin(axis=1)
+            for c in np.unique(cell):
+                sums[c] += mat[cell == c].sum(axis=0)
+            counts += np.bincount(cell, minlength=len(cents))
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype(np.int32),
+                    "n": counts[nz],
+                    "s": [sums[i].tolist() for i in nz],
+                }
+            )
+
+    return fn
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_cells: int,
@@ -85,19 +122,15 @@ def kmeans_centroids(
         cents = np.array([list(r["vec"]) for r in init], dtype=np.float64)
 
         for _ in range(max(iters, 0)):
-            assigned = base.mapInPandas(_assign_map(cents, metric), ASSIGNED_SCHEMA)
-            upd = (
-                assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
-                .groupBy("cell", "pos")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )
+            parts = base.mapInPandas(
+                _partials_map(cents, metric), PARTIAL_SCHEMA
+            ).collect()
             new = cents.copy()
             sums = np.zeros_like(cents)
             counts = np.zeros(len(cents), dtype=np.int64)
-            for r in upd:
-                sums[r["cell"], r["pos"]] += r["s"]
-                counts[r["cell"]] = r["n"]
+            for r in parts:
+                sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+                counts[r["cell"]] += r["n"]
             nonempty = counts > 0
             new[nonempty] = sums[nonempty] / counts[nonempty, None]
             cents = new

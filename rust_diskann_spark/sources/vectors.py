@@ -13,8 +13,10 @@ aggregation with a scalar result; no shuffle of the data itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def load_vectors(
@@ -52,15 +54,61 @@ def validate_vectors(df: DataFrame, dim: int | None = None) -> int:
     return int(agg["dmin"])
 
 
-def with_dense_ids(df: DataFrame, order_col: str) -> DataFrame:
-    """Assign dense ids 0..n-1 by a deterministic order (reference ids are
-    positional, lib.rs:692; ``monotonically_increasing_id`` is non-dense so
-    we use a window rank).
+def with_dense_ids(
+    df: DataFrame, order_col: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Assign dense ids 0..n-1 ordered by ``order_col`` (reference ids are
+    positional, lib.rs:692; ``monotonically_increasing_id`` is non-dense).
 
-    Scale note: a global ``row_number`` over one window is a single-reducer
-    sort. For 100 TB ingest prefer ``zipWithIndex``-style two-phase
-    (per-partition counts + offsets); this helper is for collections whose
-    source ids are absent — the driver's fixtures already carry dense ids.
+    Two-phase ``zipWithIndex``-style plan — no single-reducer global sort:
+
+    1. range-repartition on ``order_col`` + sort within partitions (a
+       parallel total order: partition p's rows all precede p+1's);
+    2. one tiny per-partition count aggregate -> cumulative offsets on the
+       driver (``n_partitions`` longs);
+    3. a narrow ``mapInPandas`` adds ``id = offset[pid] + local_position``.
+
+    The ranged intermediate is persisted so phases 2 and 3 see the same
+    partition boundaries; callers may ``.unpersist()`` the input when done.
+    ``order_col`` should be unique — ties make the order (and therefore
+    the ids) nondeterministic, as with any sort-based assignment.
     """
-    w = Window.orderBy(F.col(order_col))
-    return df.withColumn("id", F.row_number().over(w).cast("long") - 1)
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(
+            df.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+        )
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    sizes = {int(r["_pid"]): int(r["count"]) for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    out_fields = [f for f in df.schema.fields if f.name != "id"]
+    out_schema = StructType(out_fields + [StructField("id", LongType(), False)])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def add_ids(batches):
+        # mapInPandas runs once per partition; batches arrive in partition
+        # order, so a running local counter + the partition's offset give
+        # the global dense id without any further exchange
+        nxt = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if nxt is None:
+                nxt = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["id"] = np.arange(nxt, nxt + len(pdf), dtype="int64")
+            nxt += len(pdf)
+            yield pdf[out_cols]
+
+    return ranged.mapInPandas(add_ids, out_schema)

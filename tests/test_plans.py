@@ -105,3 +105,44 @@ def test_exact_dedup_single_shuffle(docs):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_with_dense_ids_two_phase_no_global_sort(spark):
+    """Dense 0..n-1 assignment must stay parallel: range exchange + local
+    sorts + narrow mapInPandas — never the round-1 single-reducer global
+    window (Exchange SinglePartition feeding a Window)."""
+    from rust_diskann_spark.sources.vectors import with_dense_ids
+
+    df = (
+        spark.range(10_000)
+        .repartition(16)
+        .select((F.col("id") * 37 % 99_991).alias("key"))
+    )
+    out = with_dense_ids(df, "key", num_partitions=8)
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    assert out.rdd.getNumPartitions() >= 8
+
+    rows = out.orderBy("key").collect()
+    ids = [r["id"] for r in rows]
+    assert ids == list(range(len(rows)))  # dense AND ordered by key
+
+
+def test_exact_knn_huge_query_side_not_broadcast(spark):
+    """A million-row query side must NOT ride a forced broadcast — the
+    guard flips the plan to a partitioned cartesian join (exact.py)."""
+    from rust_diskann_spark.operators.exact import exact_knn
+
+    big_q = spark.range(1_000_000).select(
+        F.col("id").alias("query_id"),
+        F.array(*[F.rand(seed=i) for i in range(64)]).alias("qvec"),
+    )
+    corpus = spark.range(1_000).select(
+        F.col("id"), F.array(*[F.rand(seed=100 + i) for i in range(64)]).alias("vec")
+    )
+    plan = plan_of(exact_knn(big_q, corpus, 5, "l2"))
+    # the guard drops the query-side hint; Spark then builds on the left
+    # (small corpus) side instead of shipping the 1M-row query side
+    assert "BuildLeft" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastExchange") <= 1
