@@ -856,8 +856,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture ts is either TIMESTAMP(NANOS) parquet (readable only as a
     # long under nanosAsLong) or plain TIMESTAMP micros; normalize to
     # integer microseconds for full DuckDB parity either way. NTZ is cast
-    # through TIMESTAMP (session tz pinned to UTC) so unix_micros matches
-    # DuckDB's epoch_us over naive timestamps.
+    # through TIMESTAMP, so the session tz MUST be UTC for unix_micros to
+    # match DuckDB's epoch_us over naive timestamps — forced here rather
+    # than assumed from the caller's session config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":

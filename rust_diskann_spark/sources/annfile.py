@@ -139,17 +139,27 @@ def convert_to_parquet(
 
 def load_hdf5_dataset(path: str):
     """ann-benchmarks HDF5 quadruple (train/test/neighbors/distances,
-    reference annhdf5.rs:10-34). Requires h5py, which is not in this
-    container — gate, don't fail at import time."""
+    reference annhdf5.rs:10-34).
+
+    Prefers h5py when installed; otherwise falls back to the pure-numpy
+    subset reader (sources/hdf5.py) that covers the ann-benchmarks file
+    shape (superblock v0, contiguous little-endian numeric datasets).
+    Chunked/compressed files without h5py get a clear conversion hint.
+    """
+    keys = ("train", "test", "neighbors", "distances")
     try:
-        import h5py  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "h5py is not installed in this environment; convert the HDF5 "
-            "quadruple to Parquet offline (see FIXTURES.md) and use "
-            "spark.read.parquet instead"
-        ) from e
-    import h5py
+        import h5py
+    except ImportError:
+        from rust_diskann_spark.sources.hdf5 import read_hdf5
+
+        data = read_hdf5(path)
+        missing = [k for k in keys if k not in data]
+        if missing:
+            raise ValueError(
+                f"HDF5 file lacks ann-benchmarks datasets {missing}; "
+                f"found {sorted(data)}"
+            )
+        return {k: data[k] for k in keys}
 
     with h5py.File(path, "r") as f:
-        return {k: np.asarray(f[k]) for k in ("train", "test", "neighbors", "distances")}
+        return {k: np.asarray(f[k]) for k in keys}

@@ -40,8 +40,10 @@ DEFAULT_WATERMARK = "2 hours"
 
 def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize the events table's timestamp to a proper event-time
-    column ``event_ts`` (the fixture's ts is nanos-as-long under
-    ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    column ``event_ts``. Accepts either fixture encoding: nanos-as-long
+    (TIMESTAMP(NANOS) parquet read under
+    ``spark.sql.legacy.parquet.nanosAsLong``) or a native TIMESTAMP /
+    TIMESTAMP_NTZ column — the branches below handle each."""
     if dict(events.dtypes).get(ts_col) == "bigint":
         # integer `div`, NOT `/`: nanos exceed double precision and float
         # division drifts by +-1 us

@@ -166,7 +166,14 @@ def main() -> None:
     base_pd = base.toPandas().sort_values("id")
     ids = base_pd["id"].to_numpy()
     mat = np.stack(base_pd["vec"].to_numpy()).astype(np.float64)
-    q_rows = queries.limit(n_gt).toPandas()
+    # deterministic UNBIASED sample: stride across the whole id range. A
+    # bare .limit() grabs whole partitions (which correlate with kmeans
+    # clusters after the centers join), and an id-ordered prefix covers
+    # only the low-id region; both misreport recall by multiple points
+    # (r2 measured 0.9685 / 0.983 on those vs 0.997 on the stride).
+    stride = max(1, N // n_gt)
+    q_rows = queries.filter(F.col("query_id") % stride == 0).orderBy(
+        "query_id").limit(n_gt).toPandas()
     qmat = np.stack(q_rows["qvec"].to_numpy()).astype(np.float64)
     d2 = (
         (qmat * qmat).sum(1)[:, None]

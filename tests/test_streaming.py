@@ -15,8 +15,10 @@ from rust_diskann_spark.operators.exact import exact_knn
 
 @pytest.fixture(scope="module")
 def events_dir(spark, sf_dir):
-    """Events fixture re-staged as a file-source directory (ts normalized
-    to long nanos so batch and stream read identical schemas)."""
+    """Events fixture re-staged as a file-source directory so batch and
+    stream read identical schemas regardless of whether the fixture ships
+    ts as nanos-as-long or as a native TIMESTAMP column (the re-staged
+    parquet keeps whatever type the source had)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = tempfile.mkdtemp(prefix="rds_stream_events_")
     (
