@@ -59,6 +59,16 @@ PAD = -1
 # straggler fanout) measured 4 as the knee.
 FANOUT = 4
 
+# build-path prune-pool cap: the visited pool feeding robust_prune keeps
+# only its BUILD_POOL_CAP nearest members. Deviation from the reference
+# (which prunes the full visited set, lib.rs:1034-1071): far candidates
+# are either alpha-occluded in phase 1 or outranked by nearer rejects in
+# the phase-2 backfill, so the selected out-list is unchanged in practice
+# while dense-shard prune cost drops ~4x (pools of 1400+ measured on
+# single-cluster shards). 512 also keeps pools under robust_prune's
+# one-GEMM fast path (m <= 1024 after the current-neighbor concat).
+BUILD_POOL_CAP = 512
+
 
 def _dist_batch(metric: str, q: np.ndarray, m: np.ndarray) -> np.ndarray:
     """Distances (float64) from query ``q`` to rows of ``m`` — the kernel's
@@ -387,18 +397,33 @@ def build_vamana(vectors: np.ndarray, params: IndexParams, seed: int) -> tuple[G
         alpha = 1.0 if (params.passes > 1 and pass_idx == 0) else params.alpha
         order = rng.permutation(n)
         for start in range(0, n, MICRO_BATCH_CHUNK_SIZE):
-            chunk = order[start : start + MICRO_BATCH_CHUNK_SIZE]
+            chunk = order[start : start + MICRO_BATCH_CHUNK_SIZE].astype(np.int64)
             # --- parallel-in-reference phase: per-node candidate generation
-            # over a read snapshot of the graph (lib.rs:1028-1071)
-            new_lists: list[tuple[int, np.ndarray]] = []
-            for u in chunk:
-                seeds = [medoid]
-                for _ in range(params.extra_seeds):
-                    seeds.append(int(rng.integers(0, n)))
-                v_ids, v_dists = greedy_search(
-                    vectors, graph, params.metric, vectors[u], seeds,
-                    params.build_beam_width, collect_visited=True, sqnorms=sqn,
+            # over a read snapshot of the graph (lib.rs:1028-1071), batched
+            # through the lockstep kernel (each node's search is
+            # independent within the snapshot, exactly like the
+            # reference's rayon par_iter)
+            S = 1 + max(params.extra_seeds, 0)
+            seeds = np.empty((len(chunk), S), dtype=np.int64)
+            seeds[:, 0] = medoid
+            if params.extra_seeds > 0:
+                seeds[:, 1:] = rng.integers(
+                    0, n, (len(chunk), params.extra_seeds)
                 )
+            pools = greedy_search_batch_visited(
+                vectors, graph, params.metric, seeds, vectors[chunk],
+                params.build_beam_width, sqnorms=sqn,
+            )
+            new_lists: list[tuple[int, np.ndarray]] = []
+            for u, (v_ids, v_dists) in zip(chunk, pools):
+                # cap the prune pool to the nearest BUILD_POOL_CAP
+                # candidates: on dense shards the visited pool reaches
+                # 1000+, and far candidates are either occluded in phase 1
+                # or outranked in the phase-2 backfill — they cannot
+                # change the selected set's quality, only the prune cost
+                if len(v_ids) > BUILD_POOL_CAP:
+                    part = np.argpartition(v_dists, BUILD_POOL_CAP)[:BUILD_POOL_CAP]
+                    v_ids, v_dists = v_ids[part], v_dists[part]
                 # candidate pool = visited + current neighbors (lib.rs:1034-1071)
                 cur = graph.neighbors(u).astype(np.int64)
                 if len(cur):
@@ -470,25 +495,33 @@ def _repair_connectivity(
         worst = int(np.argmax(dist_to(u, nbrs)))
         graph.adj[u, worst] = v
 
-    for _ in range(n):  # each iteration merges >= 1 component
-        reached = np.zeros(n, dtype=bool)
-        reached[medoid] = True
-        stack = [medoid]
-        while stack:
-            u = stack.pop()
-            nbrs = graph.neighbors(u)
-            fresh = nbrs[~reached[nbrs]]
-            if len(fresh):
-                reached[fresh] = True
-                stack.extend(int(x) for x in fresh)
-        if reached.all():
-            return
+    cap = graph.adj.shape[1]
+    col_idx = np.arange(cap)[None, :]
+    reached = np.zeros(n, dtype=bool)
+
+    def bfs_from(starts: np.ndarray) -> None:
+        # frontier-level BFS, whole levels as numpy ops. BFS is
+        # incremental in `reached`, so after each bridge we continue from
+        # the bridged node alone — the round-1 implementation restarted a
+        # per-node Python BFS per component and was 40% of a clustered
+        # shard's build time.
+        frontier = starts[~reached[starts]]
+        while len(frontier):
+            reached[frontier] = True
+            nbrs = graph.adj[frontier]
+            valid = col_idx < graph.deg[frontier][:, None]
+            cand = np.unique(nbrs[valid])
+            frontier = cand[~reached[cand]]
+
+    bfs_from(np.array([medoid], dtype=np.int64))
+    while not reached.all():
         un = np.nonzero(~reached)[0]
         re = np.nonzero(reached)[0]
         v = int(un[np.argmin(dist_to(medoid, un))])
         u = int(re[np.argmin(dist_to(v, re))])
         bridge(u, v)
         bridge(v, u)
+        bfs_from(np.array([v], dtype=np.int64))
 
 
 def select_entry_points(
@@ -633,8 +666,43 @@ def beam_search_batch(
 _PAD_ID = np.iinfo(np.int64).max  # sorts after every real id on dist ties
 
 
+def greedy_search_batch_visited(
+    vectors: np.ndarray,
+    graph: Graph,
+    metric: str,
+    seeds_per_q: np.ndarray,
+    qmat: np.ndarray,
+    beam_width: int,
+    sqnorms: np.ndarray | None = None,
+    max_block: int = 64,
+    fanout: int = FANOUT,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Batched build-path candidate generation: per-query VISITED pools
+    (reference lib.rs:1140-1198's collect_visited greedy search), run
+    through the vectorized lockstep kernel. The reference runs one
+    sequential search per node inside its rayon loop; a micro-batch
+    chunk's searches all read the same graph snapshot, so they batch the
+    same way query search does — this is what turns the Python-heap build
+    hot loop into whole-block numpy.
+    """
+    n = vectors.shape[0]
+    if metric == "l2" and sqnorms is None:
+        sqnorms = sq_norms(vectors)
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    block = max(1, min(max_block, (64 << 20) // max(n, 1)))
+    for lo in range(0, len(qmat), block):
+        out.extend(
+            _beam_block(
+                vectors, graph, metric, 0, qmat[lo : lo + block],
+                beam_width, beam_width, sqnorms, None, fanout,
+                seeds_per_q=seeds_per_q[lo : lo + block], collect=True,
+            )
+        )
+    return out
+
+
 def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
-                entries=None, fanout=FANOUT):
+                entries=None, fanout=FANOUT, seeds_per_q=None, collect=False):
     """Vectorized classical Vamana search over a block of queries.
 
     State per query is a (dist, id, expanded) working set of size ``beam``
@@ -654,6 +722,13 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
     regime (beam >= n, connected graph) both explore every node and
     return identical exact top-k, and the recall gates in
     tests/test_vamana_core.py hold unchanged.
+
+    ``seeds_per_q`` ((B, S) int64) gives each query its own seed set
+    (build-path: medoid + per-node random extra seeds) instead of the
+    shared ``medoid``/``entries``. ``collect=True`` switches the return
+    to the per-query VISITED pool — every (id, dist) the search ever
+    evaluated — which is the candidate pool the Vamana build prunes
+    (reference lib.rs:1140-1198).
     """
     n = vectors.shape[0]
     B = len(qblock)
@@ -680,25 +755,60 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
     we = np.ones((B, beam), dtype=bool)
     visited = np.zeros((B, n), dtype=bool)
 
-    if entries is None:
-        seed_ids = np.array([medoid], dtype=np.int64)
+    coll_r: list[np.ndarray] = []
+    coll_i: list[np.ndarray] = []
+    coll_d: list[np.ndarray] = []
+
+    if seeds_per_q is not None:
+        S = seeds_per_q.shape[1]
+        ss = np.sort(np.asarray(seeds_per_q, dtype=np.int64), axis=1)
+        rowsB = np.arange(B)[:, None]
+        visited[rowsB, ss] = True
+        d0 = dists_for(
+            np.repeat(np.arange(B, dtype=np.int64), S), ss.ravel()
+        ).reshape(B, S)
+        if collect:
+            dup0 = np.zeros_like(ss, dtype=bool)
+            dup0[:, 1:] = ss[:, 1:] == ss[:, :-1]
+            keep0 = ~dup0.ravel()
+            coll_r.append(np.repeat(np.arange(B, dtype=np.int64), S)[keep0])
+            coll_i.append(ss.ravel()[keep0])
+            coll_d.append(d0.ravel()[keep0])
+        # duplicate seeds within a row would break the working set's
+        # dup-free invariant: pad them out before the init sort
+        dup = np.zeros_like(ss, dtype=bool)
+        dup[:, 1:] = ss[:, 1:] == ss[:, :-1]
+        d0 = np.where(dup, np.inf, d0)
+        sid_mat = np.where(dup, _PAD_ID, ss)
+        m0 = min(S, beam)
+        order0 = np.lexsort((sid_mat, d0))[:, :m0]
+        wd[:, :m0] = np.take_along_axis(d0, order0, axis=1)
+        wi[:, :m0] = np.take_along_axis(sid_mat, order0, axis=1)
+        we[:, :m0] = wi[:, :m0] == _PAD_ID
     else:
-        seed_ids = np.array(sorted(set(int(e) for e in entries)), dtype=np.int64)
-    E = len(seed_ids)
-    d0 = dists_for(
-        np.repeat(np.arange(B, dtype=np.int64), E), np.tile(seed_ids, B)
-    ).reshape(B, E)
-    # seed every entry point for every query. Measured r2 (100k merged
-    # demo, 78 entries): per-query nearest-p entry routing saved no time
-    # (far seeds are evicted without ever being expanded; the d0 routing
-    # matrix already costs the same einsum) and LOWERED recall ~2.5pt —
-    # distant entries act as free long-range shortcuts. So: all seeds.
-    visited[:, seed_ids] = True
-    m0 = min(E, beam)
-    order0 = np.lexsort((np.broadcast_to(seed_ids, (B, E)), d0))[:, :m0]
-    wd[:, :m0] = np.take_along_axis(d0, order0, axis=1)
-    wi[:, :m0] = seed_ids[order0]
-    we[:, :m0] = False
+        if entries is None:
+            seed_ids = np.array([medoid], dtype=np.int64)
+        else:
+            seed_ids = np.array(sorted(set(int(e) for e in entries)), dtype=np.int64)
+        E = len(seed_ids)
+        d0 = dists_for(
+            np.repeat(np.arange(B, dtype=np.int64), E), np.tile(seed_ids, B)
+        ).reshape(B, E)
+        # seed every entry point for every query. Measured r2 (100k merged
+        # demo, 78 entries): per-query nearest-p entry routing saved no time
+        # (far seeds are evicted without ever being expanded; the d0 routing
+        # matrix already costs the same einsum) and LOWERED recall ~2.5pt —
+        # distant entries act as free long-range shortcuts. So: all seeds.
+        visited[:, seed_ids] = True
+        if collect:
+            coll_r.append(np.repeat(np.arange(B, dtype=np.int64), E))
+            coll_i.append(np.tile(seed_ids, B))
+            coll_d.append(d0.ravel())
+        m0 = min(E, beam)
+        order0 = np.lexsort((np.broadcast_to(seed_ids, (B, E)), d0))[:, :m0]
+        wd[:, :m0] = np.take_along_axis(d0, order0, axis=1)
+        wi[:, :m0] = seed_ids[order0]
+        we[:, :m0] = False
 
     adj, deg = graph.adj, graph.deg
     cap = adj.shape[1]
@@ -738,6 +848,10 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         rows, ids = key // n, key % n
         visited[rows, ids] = True
         ds = dists_for(rows, ids)
+        if collect:
+            coll_r.append(rows)
+            coll_i.append(ids)
+            coll_d.append(ds)
 
         # scatter candidates into a dense (A, maxc) pad matrix
         act = np.unique(rws)
@@ -762,6 +876,15 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         wd[act] = np.take_along_axis(all_d, take, axis=1)
         wi[act] = np.take_along_axis(all_i, take, axis=1)
         we[act] = np.take_along_axis(all_e, take, axis=1)
+
+    if collect:
+        R = np.concatenate(coll_r)
+        I = np.concatenate(coll_i)
+        D = np.concatenate(coll_d)
+        order = np.argsort(R, kind="stable")
+        R, I, D = R[order], I[order], D[order]
+        bounds = np.cumsum(np.bincount(R, minlength=B))[:-1]
+        return list(zip(np.split(I, bounds), np.split(D, bounds)))
 
     results = []
     for i in range(B):

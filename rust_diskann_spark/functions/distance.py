@@ -87,6 +87,30 @@ def distance_expr(metric: str, a: Column, b: Column) -> Column:
     raise ValueError(f"unsupported metric {metric!r}; expected one of {SUPPORTED_METRICS}")
 
 
+def norm_expr(a: Column) -> Column:
+    """Public alias of the L2-norm fold — lets operators hoist per-row
+    norms into projected columns (see :func:`cosine_expr_with_norms`)."""
+    return _norm_expr(a)
+
+
+def cosine_expr_with_norms(
+    a: Column, b: Column, a_norm: Column, b_norm: Column
+) -> Column:
+    """Cosine distance with pre-computed norms.
+
+    ``distance_expr('cosine', ...)`` inlines both norm folds, so a kNN
+    cross join evaluates them once per (query, corpus) PAIR — n*q norm
+    folds instead of n+q. Hoisting the norms into projected columns on
+    each side before the join leaves only the dot fold per pair (~3x on
+    the measured sf0.1 cosine kNN). The arithmetic is the identical
+    double-precision expression, so results (and the DuckDB oracle hash)
+    are unchanged.
+    """
+    denom = a_norm * b_norm
+    sim = F.when(denom > 0, _dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+    return F.lit(1.0) - sim
+
+
 def l2_normalize_expr(a: Column) -> Column:
     """L2-normalize an array column (reference annhdf5.rs:204-213's
     ``do_l2_normalization``, which makes Dot equivalent to Cosine)."""

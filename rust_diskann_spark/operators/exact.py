@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from rust_diskann_spark.functions.distance import distance_expr
+from rust_diskann_spark.functions.distance import (
+    cosine_expr_with_norms,
+    distance_expr,
+    norm_expr,
+)
 
 # query-side row count above which the broadcast hint is withheld —
 # mirroring autoBroadcastJoinThreshold's job for the hint we would
@@ -66,12 +70,18 @@ def exact_knn(
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
     if broadcast_queries is None:
         broadcast_queries = _fits_broadcast(q)
+    if metric == "cosine":
+        # hoist the norm folds to one per ROW (vs one per pair inlined in
+        # distance_expr) — identical arithmetic, ~3x fewer folds
+        q = q.withColumn("__qnorm", norm_expr(F.col("__qvec")))
+        c = c.withColumn("__cnorm", norm_expr(F.col("__vec")))
+        dist = cosine_expr_with_norms(
+            F.col("__qvec"), F.col("__vec"), F.col("__qnorm"), F.col("__cnorm")
+        )
+    else:
+        dist = distance_expr(metric, F.col("__qvec"), F.col("__vec"))
     q_side = F.broadcast(q) if broadcast_queries else q
-    scored = c.crossJoin(q_side).select(
-        "query_id",
-        "id",
-        distance_expr(metric, F.col("__qvec"), F.col("__vec")).alias("dist"),
-    )
+    scored = c.crossJoin(q_side).select("query_id", "id", dist.alias("dist"))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
