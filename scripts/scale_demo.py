@@ -44,7 +44,12 @@ CLUSTERS = 64
 SPREAD = 0.25  # within-cluster stddev relative to unit center scale
 DIM = 128
 K = 10
-BEAM = 128
+# search beam: the r2 build saturates the degree budget (per-cell mean
+# degree == max_degree; merged union mean ~58), so each expansion sees
+# ~2x the neighbors of the r1 graph and a narrower beam reaches the same
+# recall. Measured on the 100k merged index (stride-200 GT): beam 48 ->
+# recall 0.9970 @ 1,314 q/s single-thread vs beam 128 -> 0.9985 @ 531.
+BEAM = 48
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
