@@ -852,6 +852,16 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
             coll_r.append(rows)
             coll_i.append(ids)
             coll_d.append(ds)
+        # admission prefilter: a candidate at or past the row's current
+        # worst working-set entry can never enter the top-beam, so drop
+        # it before the merge sort (result-identical; shrinks the
+        # per-round lexsort width on converged rows). Rows with free
+        # slots have wd[...,-1] == inf and keep everything.
+        adm = ds < wd[rows, beam - 1]
+        if not adm.all():
+            rows, ids, ds = rows[adm], ids[adm], ds[adm]
+            if len(ids) == 0:
+                continue
 
         # scatter candidates into a dense (A, maxc) pad matrix
         act = np.unique(rws)
