@@ -198,3 +198,32 @@ def test_connectivity_repair_and_entry_points_on_clustered_data():
 
     # degree bound survives bridging (reference invariant lib.rs:1111-1132)
     assert int(g.deg.max()) <= p.max_degree
+
+
+def test_batched_visited_pools_feed_the_build():
+    """greedy_search_batch_visited (the r2 build path's candidate
+    generator) must return, per node, a visited pool that (a) contains
+    the node's true near neighbors, (b) carries correct distances, and
+    (c) is deterministic."""
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((400, 16)).astype(np.float32)
+    p = IndexParams(max_degree=16, build_beam_width=32)
+    g, med = vamana.build_vamana(mat, p, seed=11)
+    seeds = np.full((40, 2), med, dtype=np.int64)
+    seeds[:, 1] = np.arange(40)  # second seed = the node itself
+    qmat = mat[:40]
+    pools = vamana.greedy_search_batch_visited(
+        mat, g, "l2", seeds, qmat, 32, sqnorms=vamana.sq_norms(mat)
+    )
+    pools2 = vamana.greedy_search_batch_visited(
+        mat, g, "l2", seeds, qmat, 32, sqnorms=vamana.sq_norms(mat)
+    )
+    m64 = mat.astype(np.float64)
+    for i, (ids, dists) in enumerate(pools):
+        assert len(ids) == len(set(ids.tolist()))  # no dups
+        true = np.linalg.norm(m64[ids] - m64[i], axis=1)
+        np.testing.assert_allclose(dists, true, rtol=1e-6, atol=1e-6)
+        exact3 = set(np.argsort(np.linalg.norm(m64 - m64[i], axis=1),
+                                kind="stable")[:3].tolist())
+        assert len(exact3 & set(ids.tolist())) >= 2  # pool covers near nbrs
+        assert ids.tolist() == pools2[i][0].tolist()  # deterministic
