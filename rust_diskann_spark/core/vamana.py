@@ -13,7 +13,7 @@ Algorithm parity map (reference src/lib.rs):
 
 - random R-out bootstrap            lib.rs:989-1004   -> :func:`_random_bootstrap`
 - medoid via 8 sampled pivots       lib.rs:736-756    -> :func:`calculate_medoid`
-- greedy search collecting visited  lib.rs:1140-1198  -> :func:`greedy_search`
+- greedy search collecting visited  lib.rs:1140-1198  -> :func:`greedy_search_batch_visited`
 - dedup keep-best-per-id            lib.rs:758-776    -> :func:`_dedup_keep_best`
 - alpha-RNG prune + backfill        lib.rs:1201-1279  -> :func:`robust_prune`
 - micro-batched pass loop           lib.rs:1013-1108  -> :func:`build_vamana`
@@ -35,7 +35,6 @@ maps them to global ids.
 
 from __future__ import annotations
 
-import heapq
 import math
 from dataclasses import dataclass
 
@@ -200,96 +199,6 @@ def _random_bootstrap(n: int, max_degree: int, slack: int, rng: np.random.Genera
             deg[u] = m
         pending = np.array(still, dtype=np.int64)
     return Graph(adj, deg)
-
-
-def greedy_search(
-    vectors: np.ndarray,
-    graph: Graph,
-    metric: str,
-    query: np.ndarray,
-    seeds: list[int],
-    beam_width: int,
-    collect_visited: bool,
-    sqnorms: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Best-first beam search (reference lib.rs:635-693 query path;
-    lib.rs:1140-1198 build path when ``collect_visited``).
-
-    Maintains a min-heap ``frontier`` and a bounded working set ``w`` of
-    size ``beam_width``. Terminates when the best frontier candidate is no
-    better than the worst of a full working set (lib.rs:657-664).
-
-    Returns ``(ids, dists)``:
-    - ``collect_visited=False``: the working set sorted by (dist, id) —
-      the query-time result before k-truncation (lib.rs:689-692);
-    - ``collect_visited=True``: every visited (id, dist) pair, the
-      candidate pool for robust pruning (lib.rs:1186-1196).
-    """
-    n = vectors.shape[0]
-    visited = np.zeros(n, dtype=bool)
-    frontier: list[tuple[float, int]] = []
-    # working set as max-heap via negated dist: (-dist, -id) so the worst
-    # (largest dist, then largest id — Candidate cmp, lib.rs:150-163) pops first
-    w: list[tuple[float, int]] = []
-    visited_ids: list[int] = []
-    visited_ds: list[float] = []
-
-    dist_ids = _make_dist_ids(metric, vectors, query, sqnorms)
-    seed_ids = np.array(sorted(set(int(s) for s in seeds)), dtype=np.int64)
-    seed_dists = dist_ids(seed_ids)
-    for sid, sd in zip(seed_ids, seed_dists):
-        visited[sid] = True
-        heapq.heappush(frontier, (float(sd), int(sid)))
-        _admit(w, float(sd), int(sid), beam_width)
-        if collect_visited:
-            visited_ids.append(int(sid))
-            visited_ds.append(float(sd))
-
-    while frontier:
-        best_d, best_id = heapq.heappop(frontier)
-        if len(w) >= beam_width and (best_d, best_id) >= (-w[0][0], -w[0][1]):
-            break  # lib.rs:657-664: best frontier no better than worst of full w
-        nbrs = graph.neighbors(best_id)
-        if len(nbrs) == 0:
-            continue
-        fresh = nbrs[~visited[nbrs]]
-        if len(fresh) == 0:
-            continue
-        visited[fresh] = True
-        dists = dist_ids(fresh)
-        if collect_visited:
-            visited_ids.extend(fresh.tolist())
-            visited_ds.extend(dists.tolist())
-        if len(w) >= beam_width:
-            # admission requires nd < current worst; worst only shrinks as
-            # we admit, so pre-filtering against the batch-entry worst is
-            # exact (rejected items could never be admitted later)
-            mask = dists < -w[0][0]
-            fresh, dists = fresh[mask], dists[mask]
-        for nid, nd in zip(fresh.tolist(), dists.tolist()):
-            if len(w) < beam_width or nd < -w[0][0]:
-                heapq.heappush(frontier, (nd, nid))
-                _admit(w, nd, nid, beam_width)
-
-    if collect_visited:
-        return (
-            np.array(visited_ids, dtype=np.int64),
-            np.array(visited_ds, dtype=np.float64),
-        )
-    # w items are (-dist, -id); flip back and sort (dist asc, id asc)
-    pairs = sorted((-nd, -ni) for nd, ni in w)
-    ids = np.array([i for _, i in pairs], dtype=np.int64)
-    ds = np.array([d for d, _ in pairs], dtype=np.float64)
-    return ids, ds
-
-
-def _admit(w: list[tuple[float, int]], d: float, i: int, beam_width: int) -> None:
-    """Admit (d, i) into the bounded working set (max-heap by (dist, id))."""
-    item = (-d, -i)
-    if len(w) < beam_width:
-        heapq.heappush(w, item)
-    elif item > w[0]:  # better (smaller dist, then smaller id) than worst
-        heapq.heapreplace(w, item)
 
 
 def _dedup_keep_best(ids: np.ndarray, dists: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
