@@ -645,15 +645,24 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
     use_norm = metric == "l2" and sqnorms is not None
     if use_norm:
         qq = np.einsum("ij,ij->i", q64, q64)
+        # f32 traversal: the candidate-eval einsum is the kernel's dominant
+        # memory traffic, and an all-f32 pipeline halves it (the old mixed
+        # f32xf64 einsum upcast every gathered row to f64 inside the
+        # kernel). f32's ~1e-7 relative error only perturbs orderings at
+        # near-ties mid-search; the finalization below re-scores the
+        # surviving working set in f64 with the exact old formula, so the
+        # RETURNED (dist, id) ordering is full-precision — in the
+        # degenerate oracle regime (beam >= n: the working set holds every
+        # node) the output is bit-identical to an all-f64 traversal.
+        q32 = np.asarray(qblock, dtype=np.float32)
+        qq32 = qq.astype(np.float32)
+        sqn32 = sqnorms.astype(np.float32)
 
     def dists_for(qidx: np.ndarray, ids: np.ndarray) -> np.ndarray:
         if use_norm:
-            # mixed f32xf64 einsum: numpy promotes to float64 *inside* the
-            # kernel — bit-identical to gather+astype, ~2.4x faster (no
-            # materialized float64 copy of the gathered rows)
             rows = vectors[ids]
-            qrows = q64[qidx]
-            d2 = sqnorms[ids] - 2.0 * np.einsum("ij,ij->i", rows, qrows) + qq[qidx]
+            qrows = q32[qidx]
+            d2 = sqn32[ids] - 2.0 * np.einsum("ij,ij->i", rows, qrows) + qq32[qidx]
             return np.sqrt(np.maximum(d2, 0.0))
         return _rowwise_dist(metric, qblock, qidx, vectors, ids)
 
@@ -804,6 +813,24 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         R, I, D = R[order], I[order], D[order]
         bounds = np.cumsum(np.bincount(R, minlength=B))[:-1]
         return list(zip(np.split(I, bounds), np.split(D, bounds)))
+
+    if use_norm:
+        # f64 finalization: re-score every surviving working-set entry with
+        # the pre-r3 mixed f32xf64 norm-trick einsum (numpy upcasts the f32
+        # rows inside the kernel — bit-identical to gather+astype) and
+        # re-sort, so callers see full-precision (dist, id) order.
+        rws, cls = np.nonzero(wi != _PAD_ID)
+        ids_flat = wi[rws, cls]
+        d2 = (
+            sqnorms[ids_flat]
+            - 2.0 * np.einsum("ij,ij->i", vectors[ids_flat], q64[rws])
+            + qq[rws]
+        )
+        wd = np.full((B, beam), np.inf, dtype=np.float64)
+        wd[rws, cls] = np.sqrt(np.maximum(d2, 0.0))
+        order = np.lexsort((wi, wd))
+        wd = np.take_along_axis(wd, order, axis=1)
+        wi = np.take_along_axis(wi, order, axis=1)
 
     results = []
     for i in range(B):

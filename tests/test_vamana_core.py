@@ -222,7 +222,13 @@ def test_batched_visited_pools_feed_the_build():
     for i, (ids, dists) in enumerate(pools):
         assert len(ids) == len(set(ids.tolist()))  # no dups
         true = np.linalg.norm(m64[ids] - m64[i], axis=1)
-        np.testing.assert_allclose(dists, true, rtol=1e-6, atol=1e-6)
+        # r3 kernel traverses in f32 (halves the eval's memory traffic);
+        # pool dists are f32-accurate. rtol covers the general case; the
+        # wide atol covers d ~= 0 (a node's distance to itself), where
+        # sqrt amplifies the norm-trick's cancellation error: d2_true = 0
+        # but f32 leaves ~1e-6 residual -> d ~= 1e-3. Self-distances are
+        # excluded by the prune anyway (reference lib.rs:1224-1226).
+        np.testing.assert_allclose(dists, true, rtol=1e-4, atol=2e-3)
         exact3 = set(np.argsort(np.linalg.norm(m64 - m64[i], axis=1),
                                 kind="stable")[:3].tolist())
         assert len(exact3 & set(ids.tolist())) >= 2  # pool covers near nbrs
