@@ -30,6 +30,7 @@ from rust_diskann_spark.operators import dedup as DD
 from rust_diskann_spark.operators import eval as EV
 from rust_diskann_spark.operators import ivf as IVF
 from rust_diskann_spark.operators import multimodal as MM
+from rust_diskann_spark.operators import sampling as SMP
 from rust_diskann_spark.operators.exact import exact_knn
 from rust_diskann_spark.operators.medoid import medoid as medoid_op
 
@@ -584,6 +585,60 @@ def _minhash_verified_oracle() -> str:
         )
         select doc_a, doc_b, round(jaccard, {RND}) as jaccard
         from scored where jaccard >= 0.5
+    """
+
+
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: the
+    "one survivor per duplicate cluster" labeling (doc_id, cluster_rep)."""
+    pairs = DD.minhash_near_duplicates(_docs_with_dups(spark, sf_dir), threshold=0.5)
+    return DD.dedup_components(pairs)
+
+
+def _dedup_components_oracle() -> str:
+    # transitive closure by recursive CTE over the SAME verified-pair
+    # query; min reachable id (including self) per node = component rep
+    verified = _minhash_verified_oracle()
+    return f"""
+        with recursive pr as (select doc_a, doc_b from ({verified}) vp),
+        e as (select doc_a as a, doc_b as b from pr
+              union select doc_b, doc_a from pr),
+        r as (
+          select a as id, b as peer from e
+          union
+          select r.id, e.b from r join e on e.a = r.peer
+        )
+        select id as doc_id, least(id, min(peer)) as cluster_rep
+        from r group by id
+    """
+
+
+_SAMPLE_RATES = {"en": 0.5, "zh": 0.25, "de": 0.1}
+_SAMPLE_DEFAULT = 0.05
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash sampling of the documents table —
+    reproducible corpus rebalancing (operators/sampling.py)."""
+    docs = _docs(spark, sf_dir)
+    out = SMP.stratified_hash_sample(
+        docs, "doc_id", "lang", _SAMPLE_RATES, _SAMPLE_DEFAULT
+    )
+    return out.select(
+        "doc_id", "lang", SMP.hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
+def _sample_stratified_oracle() -> str:
+    b = SMP.sql_hash_bucket("doc_id")
+    n = SMP.DEFAULT_BUCKETS
+    cases = " ".join(
+        f"when '{k}' then {int(r * n)}" for k, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+        select doc_id, lang, {b} as bucket
+        from documents
+        where {b} < case lang {cases} else {int(_SAMPLE_DEFAULT * n)} end
     """
 
 
@@ -1219,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _minhash_sigs,
         "minhash_lsh_pairs": _minhash_pairs,
         "minhash_verified_pairs": _minhash_verified,
+        "dedup_components": _dedup_components,
+        "sample_stratified": _sample_stratified,
         "ngram_jaccard_pairs": _jaccard_pairs,
         "simhash_signatures": _simhash_sigs,
         "simhash_near_dups": _simhash_pairs,
@@ -1274,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sigs_oracle(),
         "minhash_lsh_pairs": _minhash_pairs_oracle(),
         "minhash_verified_pairs": _minhash_verified_oracle(),
+        "dedup_components": _dedup_components_oracle(),
+        "sample_stratified": _sample_stratified_oracle(),
         "ngram_jaccard_pairs": _jaccard_pairs_oracle(),
         "simhash_signatures": _simhash_sigs_oracle(),
         "simhash_near_dups": _simhash_pairs_oracle(),

@@ -526,7 +526,7 @@ def beam_search(
     implementation and bit-identical by construction.
     """
     beam = max(beam_width, k)
-    if metric == "l2" and sqnorms is None:
+    if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
     return _beam_block(
         vectors, graph, metric, medoid,
@@ -557,7 +557,7 @@ def beam_search_batch(
     """
     n = vectors.shape[0]
     beam = max(beam_width, k)
-    if metric == "l2" and sqnorms is None:
+    if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
     out: list[tuple[np.ndarray, np.ndarray]] = []
     # bound visited bitmap to ~64 MB
@@ -595,7 +595,7 @@ def greedy_search_batch_visited(
     hot loop into whole-block numpy.
     """
     n = vectors.shape[0]
-    if metric == "l2" and sqnorms is None:
+    if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
     out: list[tuple[np.ndarray, np.ndarray]] = []
     block = max(1, min(max_block, (64 << 20) // max(n, 1)))
@@ -657,6 +657,19 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         q32 = np.asarray(qblock, dtype=np.float32)
         qq32 = qq.astype(np.float32)
         sqn32 = sqnorms.astype(np.float32)
+    elif metric in ("cosine", "dot"):
+        # same f32-traversal/f64-finalize scheme as l2 (comment above);
+        # replaces the r2 per-query _rowwise_dist Python loop per round
+        q32 = np.asarray(qblock, dtype=np.float32)
+        if metric == "cosine":
+            mn32 = (
+                np.sqrt(sqnorms).astype(np.float32)
+                if sqnorms is not None
+                else np.sqrt(np.einsum("ij,ij->i", vectors, vectors))
+            )
+            qn32 = np.sqrt(np.einsum("ij,ij->i", q32, q32))
+    elif metric == "hamming":
+        q_int = np.asarray(qblock, dtype=np.uint64)
 
     def dists_for(qidx: np.ndarray, ids: np.ndarray) -> np.ndarray:
         if use_norm:
@@ -664,6 +677,19 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
             qrows = q32[qidx]
             d2 = sqn32[ids] - 2.0 * np.einsum("ij,ij->i", rows, qrows) + qq32[qidx]
             return np.sqrt(np.maximum(d2, 0.0))
+        if metric == "cosine":
+            num = np.einsum("ij,ij->i", vectors[ids], q32[qidx])
+            denom = mn32[ids] * qn32[qidx]
+            safe = np.where(denom > 0, denom, 1.0)
+            return 1.0 - np.where(denom > 0, num / safe, 0.0)
+        if metric == "dot":
+            return 1.0 - np.einsum("ij,ij->i", vectors[ids], q32[qidx])
+        if metric == "hamming":
+            x = np.bitwise_xor(vectors[ids].astype(np.uint64), q_int[qidx])
+            v = x.view(np.uint8)
+            return (
+                _POPCOUNT_LUT[v].reshape(len(ids), -1).sum(axis=1).astype(np.float64)
+            )
         return _rowwise_dist(metric, qblock, qidx, vectors, ids)
 
     # working sets: (B, beam), sorted by (dist, id); pads expanded=True so
@@ -814,20 +840,38 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         bounds = np.cumsum(np.bincount(R, minlength=B))[:-1]
         return list(zip(np.split(I, bounds), np.split(D, bounds)))
 
-    if use_norm:
-        # f64 finalization: re-score every surviving working-set entry with
-        # the pre-r3 mixed f32xf64 norm-trick einsum (numpy upcasts the f32
-        # rows inside the kernel — bit-identical to gather+astype) and
-        # re-sort, so callers see full-precision (dist, id) order.
+    if use_norm or metric in ("cosine", "dot"):
+        # f64 finalization: re-score every surviving working-set entry in
+        # float64 (for l2, the pre-r3 mixed f32xf64 norm-trick einsum —
+        # numpy upcasts the f32 rows inside the kernel, bit-identical to
+        # gather+astype) and re-sort, so callers see full-precision
+        # (dist, id) order despite the f32 traversal. Hamming dists are
+        # integers, exact already.
         rws, cls = np.nonzero(wi != _PAD_ID)
         ids_flat = wi[rws, cls]
-        d2 = (
-            sqnorms[ids_flat]
-            - 2.0 * np.einsum("ij,ij->i", vectors[ids_flat], q64[rws])
-            + qq[rws]
-        )
+        if use_norm:
+            d64 = np.sqrt(
+                np.maximum(
+                    sqnorms[ids_flat]
+                    - 2.0 * np.einsum("ij,ij->i", vectors[ids_flat], q64[rws])
+                    + qq[rws],
+                    0.0,
+                )
+            )
+        else:
+            rows64 = vectors[ids_flat].astype(np.float64)
+            num = np.einsum("ij,ij->i", rows64, q64[rws])
+            if metric == "cosine":
+                denom = np.sqrt(
+                    np.einsum("ij,ij->i", rows64, rows64)
+                    * np.einsum("ij,ij->i", q64[rws], q64[rws])
+                )
+                safe = np.where(denom > 0, denom, 1.0)
+                d64 = 1.0 - np.where(denom > 0, num / safe, 0.0)
+            else:  # dot
+                d64 = 1.0 - num
         wd = np.full((B, beam), np.inf, dtype=np.float64)
-        wd[rws, cls] = np.sqrt(np.maximum(d2, 0.0))
+        wd[rws, cls] = d64
         order = np.lexsort((wi, wd))
         wd = np.take_along_axis(wd, order, axis=1)
         wi = np.take_along_axis(wi, order, axis=1)

@@ -323,6 +323,58 @@ def minhash_near_duplicates(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph -> (doc_id,
+    cluster_rep): every doc appearing in a pair is labeled with the MIN
+    doc_id of its component. This is the "pick one survivor per duplicate
+    cluster" step a dedup pipeline runs AFTER pair generation — pairs
+    alone can't drive deletion (a~b and b~c must keep only one of three).
+
+    Algorithm: min-label propagation. labels start as each node's own id;
+    each round every node takes the min of its label and its neighbors'
+    labels; converged when no label changes. Rounds needed = component
+    diameter — for dup clusters (near-cliques produced by LSH + verify)
+    that is 1-3. Each round is one shuffle of (edge, label) pairs; labels
+    are localCheckpoint'ed per round so lineage stays flat at scale. For
+    adversarial long-chain graphs the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) bounds rounds at O(log n) with the same per-round plan shape;
+    dup graphs never need it.
+    """
+    e_fwd = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = e_fwd.union(
+        e_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("lab", F.col("id"))
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lab").alias("nbr_lab"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("lab", "nbr_lab").alias("lab"), F.col("lab").alias("old_lab")
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("lab") < F.col("old_lab")).count()
+        labels = new_labels.select("id", "lab")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_rep"))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact — the verifier for MinHash)
 # ---------------------------------------------------------------------------

@@ -138,14 +138,20 @@ def main() -> None:
     res.count()
     search_s = time.perf_counter() - t0
 
-    # steady-state: repeat batches with python workers + broadcast already
-    # resident — the reference's own measurement regime (index in RAM,
-    # repeated query batches, README.md:120-134)
+    # steady-state: sustained throughput with broadcast + python workers
+    # warm — the reference's own measurement regime (index in RAM, a
+    # saturated stream of query batches, README.md:120-134). One n_q-row
+    # batch finishes in ~1 s here, of which ~0.3 s is fixed job overhead
+    # (scheduling + query fan-out exchange), so time WINDOWS of 5
+    # back-to-back batches and take the best window: sustained load
+    # amortizes the per-job cost exactly as a real serving loop would.
+    idx.search_with_dists(queries, k=K, beam_width=BEAM).count()  # warm
     steady_runs = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        idx.search_with_dists(queries, k=K, beam_width=BEAM).count()
-        steady_runs.append(time.perf_counter() - t0)
+        for _ in range(5):
+            idx.search_with_dists(queries, k=K, beam_width=BEAM).count()
+        steady_runs.append((time.perf_counter() - t0) / 5)
     steady_s = min(steady_runs)
 
     # IVF-style shard routing: probe the 4 nearest shards per query.
@@ -167,18 +173,22 @@ def main() -> None:
     # fine as an oracle at fixture scale, pointless for a perf demo)
     import numpy as np
 
-    n_gt = min(200, n_q)
+    n_gt = min(500, n_q)
     base_pd = base.toPandas().sort_values("id")
     ids = base_pd["id"].to_numpy()
     mat = np.stack(base_pd["vec"].to_numpy()).astype(np.float64)
-    # deterministic UNBIASED sample: stride across the whole id range. A
-    # bare .limit() grabs whole partitions (which correlate with kmeans
-    # clusters after the centers join), and an id-ordered prefix covers
-    # only the low-id region; both misreport recall by multiple points
-    # (r2 measured 0.9685 / 0.983 on those vs 0.997 on the stride).
-    stride = max(1, N // n_gt)
-    q_rows = queries.filter(F.col("query_id") % stride == 0).orderBy(
-        "query_id").limit(n_gt).toPandas()
+    # deterministic UNBIASED sample: seeded random choice over the query
+    # ids. NOT a stride: the corpus assigns cluster = id % CLUSTERS, so a
+    # stride with a common factor with CLUSTERS aliases onto a SUBSET of
+    # clusters (stride 500 vs 64 clusters -> gcd 4 -> 16 clusters, all of
+    # them easy ones: measured 0.997 on that stride vs 0.952 on a true
+    # random sample of the same r2 graph). A bare .limit() is worse still
+    # (grabs whole partitions correlated with kmeans cells).
+    all_q_ids = np.arange(0, N, max(1, N // Q))
+    sel_ids = np.random.default_rng(7).choice(all_q_ids, size=n_gt, replace=False)
+    q_rows = queries.filter(
+        F.col("query_id").isin([int(x) for x in sel_ids])
+    ).toPandas()
     qmat = np.stack(q_rows["qvec"].to_numpy()).astype(np.float64)
     d2 = (
         (qmat * qmat).sum(1)[:, None]

@@ -122,3 +122,49 @@ def test_embedding_near_dup_block_matmul_matches_planted(spark):
     assert {(i, 1000 + i) for i in range(0, 200, 20)} <= got
     # random 16-d gaussians essentially never hit cos >= .99
     assert len(got) == 10
+
+
+def test_dedup_components_chain_and_isolated_pair(spark):
+    """a-b, b-c chain collapses to one cluster labeled min(id); a separate
+    pair keeps its own min label; every paired doc gets exactly one row."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (7, 40)], "doc_a LONG, doc_b LONG"
+    )
+    out = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in DD.dedup_components(pairs).collect()
+    }
+    assert out == {10: 10, 20: 10, 30: 10, 7: 7, 40: 7}
+
+
+def test_dedup_components_on_minhash_pairs(docs):
+    """The planted exact/near dups (docs 0,1,2) form one component with
+    rep 0 when fed exact n-gram pairs at threshold 0.3 (doc 2 differs
+    from 0/1 by one token of nine -> trigram J = 4/10 = 0.4, below LSH's
+    reliable-collision range but above the exact verifier's cut)."""
+    pairs = DD.ngram_jaccard_pairs(docs, 0.3)
+    out = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in DD.dedup_components(pairs).collect()
+    }
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert 3 not in out and 5 not in out  # unpaired docs are absent
+
+
+def test_stratified_hash_sample_deterministic_and_bounded(spark):
+    from rust_diskann_spark.operators import sampling as SMP
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    s1 = SMP.stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.1})
+    s2 = SMP.stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.1})
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())  # deterministic
+    by_lang = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform: expect ~500 en, ~100 de (binomial, wide margin)
+    assert 400 < by_lang["en"] < 600
+    assert 50 < by_lang["de"] < 160
+    # unlisted strata default to rate 0.0 -> dropped
+    s3 = SMP.stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5})
+    assert s3.filter(F.col("lang") == "de").count() == 0
