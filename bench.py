@@ -126,6 +126,8 @@ def main() -> None:
         "minhash_lsh_pairs",
         "simhash_near_dups",
         "dedup_exact",
+        "dedup_components",
+        "sample_stratified",
         "text_quality",
         "doc_fingerprint",
         "embedding_near_dups",
