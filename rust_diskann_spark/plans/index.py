@@ -77,11 +77,17 @@ class DiskANNIndex:
         beam_width: int = 64,
         query_blocks: int | None = None,
         shard_probes: int | None = None,
+        mode: str = "auto",
     ) -> DataFrame:
         """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist).
         ``shard_probes`` (broadcast mode): IVF-style shard routing —
         search only the p shards with the nearest medoid; None = all
         (exact shard-and-merge).
+
+        ``mode``: "auto" picks by the footprint estimate below;
+        "broadcast"/"cogroup" force a strategy — the same escape hatch
+        Spark gives joins (the broadcast() hint) for when the caller
+        knows executor memory better than the static threshold does.
 
         Physical strategy (the broadcast-join vs shuffle-join analogy):
 
@@ -97,10 +103,14 @@ class DiskANNIndex:
           ``defaultParallelism // num_shards`` so few-shard indexes still
           use the whole cluster; pass ``query_blocks=1`` to disable.
         """
+        if mode not in ("auto", "broadcast", "cogroup"):
+            raise ValueError(f"mode must be auto|broadcast|cogroup, got {mode!r}")
         m = self.meta
         elem = 8 if m.elem_type == "long" else 4
         est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
-        if est_bytes <= BROADCAST_INDEX_THRESHOLD:
+        if mode == "broadcast" or (
+            mode == "auto" and est_bytes <= BROADCAST_INDEX_THRESHOLD
+        ):
             return search_ops.broadcast_search(
                 queries, self.vectors, self.graph, self.params, k, beam_width,
                 shard_probes=shard_probes, shards_bc=self._broadcast_shards(),
@@ -129,23 +139,24 @@ class DiskANNIndex:
         """Reference A9 (lib.rs:724-732)."""
         return self.vectors.filter(F.col("id") == idx).select("id", "vec")
 
-    def warm(self) -> "DiskANNIndex":
+    def warm(self, mode: str = "auto") -> "DiskANNIndex":
         """Pin the index in executor memory — the analog of the reference's
-        mmap page-cache warm-up (README.md:37). Under the broadcast
-        threshold this also pre-materializes the shard broadcast AND runs
-        one untimed probe batch (one trivial query per core) so every
-        reused python worker unpickles the broadcast NOW — measured 3.7x
-        first-batch throughput otherwise lost to worker-side index load
-        (the reference likewise excludes open/mmap from its QPS)."""
+        mmap page-cache warm-up (README.md:37). In broadcast mode (auto
+        under the threshold, or forced with ``mode="broadcast"``) this
+        also pre-materializes the shard broadcast AND runs one untimed
+        probe batch (one trivial query per core) so every reused python
+        worker unpickles the broadcast NOW — measured 3.7x first-batch
+        throughput otherwise lost to worker-side index load (the
+        reference likewise excludes open/mmap from its QPS)."""
         self.vectors = self.vectors.persist()
         self.graph = self.graph.persist()
         self.vectors.count()
         self.graph.count()
         m = self.meta
         elem = 8 if m.elem_type == "long" else 4
-        if m.num_vectors * (elem * m.dim + 4 * m.max_degree) <= (
-            BROADCAST_INDEX_THRESHOLD
-        ):
+        if mode == "broadcast" or m.num_vectors * (
+            elem * m.dim + 4 * m.max_degree
+        ) <= (BROADCAST_INDEX_THRESHOLD):
             self._broadcast_shards()
             par = self.spark.sparkContext.defaultParallelism
             elem_sql = "bigint" if m.elem_type == "long" else "float"

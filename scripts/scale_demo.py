@@ -132,9 +132,14 @@ def main() -> None:
     ).persist()
     n_q = queries.count()
 
-    idx = idx.warm()
+    # local demo host has 128 GiB: force broadcast (RAM-resident) search
+    # for any index up to 4 GiB even past the conservative auto threshold
+    # — the reference's own regime is the whole SIFT1M index resident
+    est_bytes = N * (4 * DIM + 4 * idx.meta.max_degree)
+    search_mode = "broadcast" if est_bytes <= (4 << 30) else "auto"
+    idx = idx.warm(search_mode)
     t0 = time.perf_counter()
-    res = idx.search_with_dists(queries, k=K, beam_width=BEAM)
+    res = idx.search_with_dists(queries, k=K, beam_width=BEAM, mode=search_mode)
     res.count()
     search_s = time.perf_counter() - t0
 
@@ -145,12 +150,14 @@ def main() -> None:
     # (scheduling + query fan-out exchange), so time WINDOWS of 5
     # back-to-back batches and take the best window: sustained load
     # amortizes the per-job cost exactly as a real serving loop would.
-    idx.search_with_dists(queries, k=K, beam_width=BEAM).count()  # warm
+    idx.search_with_dists(queries, k=K, beam_width=BEAM, mode=search_mode).count()  # warm
     steady_runs = []
     for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(5):
-            idx.search_with_dists(queries, k=K, beam_width=BEAM).count()
+            idx.search_with_dists(
+                queries, k=K, beam_width=BEAM, mode=search_mode
+            ).count()
         steady_runs.append((time.perf_counter() - t0) / 5)
     steady_s = min(steady_runs)
 
@@ -164,7 +171,9 @@ def main() -> None:
     res_p = None
     if MODE != "merged":
         t0 = time.perf_counter()
-        res_p = idx.search_with_dists(queries, k=K, beam_width=BEAM, shard_probes=4)
+        res_p = idx.search_with_dists(
+            queries, k=K, beam_width=BEAM, shard_probes=4, mode=search_mode
+        )
         res_p.count()
         probed_s = time.perf_counter() - t0
 
