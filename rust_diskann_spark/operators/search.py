@@ -36,6 +36,57 @@ from rust_diskann_spark.params import IndexParams
 RESULT_SCHEMA = "query_id BIGINT, id BIGINT, dist DOUBLE"
 
 
+def _shard_search_pdf(
+    index_pdf: pd.DataFrame,
+    q_pdf: pd.DataFrame,
+    metric: str,
+    dtype,
+    per_shard_k: int,
+    beam_width: int,
+    has_entries: bool,
+) -> pd.DataFrame:
+    """One shard's beam search over one query batch (the executor-side
+    kernel shared by the cogrouped and scan search paths): materialize the
+    shard as numpy, run the lockstep batch kernel, map local ordinals back
+    to global ids."""
+    if len(index_pdf) == 0 or len(q_pdf) == 0:
+        return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
+            {"query_id": "int64", "id": "int64", "dist": "float64"}
+        )
+    index_pdf = index_pdf.sort_values("id").reset_index(drop=True)
+    gids = index_pdf["id"].to_numpy()
+    pos = {int(g): i for i, g in enumerate(gids)}
+    mat = np.asarray(index_pdf["vec"].tolist(), dtype=dtype)
+    qdims = {len(v) for v in q_pdf["qvec"]}
+    if qdims != {mat.shape[1]}:
+        raise ValueError(
+            f"query dimension mismatch: index dim {mat.shape[1]}, "
+            f"query dims {sorted(qdims)} (reference lib.rs:636-641)"
+        )
+    lists = [[pos[int(g)] for g in nbrs] for nbrs in index_pdf["neighbors"]]
+    graph = vamana.graph_from_lists(lists, max_degree=1)
+    medoid_local = pos[int(index_pdf["medoid"].iloc[0])]
+    ent = None
+    if has_entries:
+        ent = np.array(
+            [pos[int(g)] for g in index_pdf["entries"].iloc[0]], dtype=np.int64
+        )
+    sqn = vamana.sq_norms(mat) if metric in ("l2", "cosine") else None
+    out_q, out_i, out_d = [], [], []
+    qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=dtype)
+    results = vamana.beam_search_batch(
+        mat, graph, metric, medoid_local, qmat, per_shard_k, beam_width,
+        sqnorms=sqn, entries=ent,
+    )
+    for qid, (ids, dists) in zip(q_pdf["query_id"], results):
+        out_q.extend([int(qid)] * len(ids))
+        out_i.extend(gids[ids].tolist())
+        out_d.extend(dists.tolist())
+    return pd.DataFrame({"query_id": out_q, "id": out_i, "dist": out_d}).astype(
+        {"query_id": "int64", "id": "int64", "dist": "float64"}
+    )
+
+
 def search(
     queries: DataFrame,
     index_vectors: DataFrame,
@@ -86,45 +137,9 @@ def search(
     dtype = np.int64 if metric == "hamming" else np.float32
 
     def search_shard(index_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(index_pdf) == 0 or len(q_pdf) == 0:
-            return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
-                {"query_id": "int64", "id": "int64", "dist": "float64"}
-            )
-        index_pdf = index_pdf.sort_values("id").reset_index(drop=True)
-        gids = index_pdf["id"].to_numpy()
-        pos = {int(g): i for i, g in enumerate(gids)}
-        mat = np.asarray(index_pdf["vec"].tolist(), dtype=dtype)
-        qdims = {len(v) for v in q_pdf["qvec"]}
-        if qdims != {mat.shape[1]}:
-            raise ValueError(
-                f"query dimension mismatch: index dim {mat.shape[1]}, "
-                f"query dims {sorted(qdims)} (reference lib.rs:636-641)"
-            )
-        lists = [
-            [pos[int(g)] for g in nbrs] for nbrs in index_pdf["neighbors"]
-        ]
-        graph = vamana.graph_from_lists(lists, max_degree=1)
-        medoid_local = pos[int(index_pdf["medoid"].iloc[0])]
-        ent = None
-        if has_entries:
-            ent = np.array(
-                [pos[int(g)] for g in index_pdf["entries"].iloc[0]],
-                dtype=np.int64,
-            )
-        sqn = vamana.sq_norms(mat) if metric == "l2" else None
-        out_q, out_i, out_d = [], [], []
-        qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=dtype)
-        results = vamana.beam_search_batch(
-            mat, graph, metric, medoid_local, qmat, per_shard_k, beam_width,
-            sqnorms=sqn, entries=ent,
+        return _shard_search_pdf(
+            index_pdf, q_pdf, metric, dtype, per_shard_k, beam_width, has_entries
         )
-        for qid, (ids, dists) in zip(q_pdf["query_id"], results):
-            out_q.extend([int(qid)] * len(ids))
-            out_i.extend(gids[ids].tolist())
-            out_d.extend(dists.tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "id": out_i, "dist": out_d}
-        ).astype({"query_id": "int64", "id": "int64", "dist": "float64"})
 
     candidates = (
         side.groupBy(*group_keys)
@@ -144,6 +159,71 @@ def search_ids(*args, **kwargs) -> DataFrame:
     """Ids-only projection (reference A8 ``search``, lib.rs:696-701).
     Catalyst prunes the dist column out of the merge."""
     return search(*args, **kwargs).select("query_id", "rank", "id")
+
+
+def prepare_scan_side(
+    index_vectors: DataFrame, index_graph: DataFrame
+) -> DataFrame:
+    """Pre-shuffle + persist the (vectors ⋈ graph) side hash-partitioned by
+    shard, for :func:`scan_search`. Done ONCE per index handle: every
+    subsequent query batch reads the resident partitions with no corpus
+    exchange (the groupBy(shard) below the applyInPandas reuses this
+    partitioning)."""
+    graph_cols = ["shard", "id", "neighbors", "medoid"]
+    if "entries" in index_graph.columns:
+        graph_cols.append("entries")
+    side = index_vectors.join(index_graph.select(*graph_cols), ["shard", "id"])
+    n_shards = index_graph.select("shard").distinct().count()
+    return side.repartition(max(n_shards, 1), "shard").persist()
+
+
+def scan_search(
+    queries: DataFrame,
+    scan_side: DataFrame,
+    params: IndexParams,
+    k: int,
+    beam_width: int = 64,
+) -> DataFrame:
+    """Steady-state search for indexes LARGER than executor broadcast
+    memory: the corpus stays put, the query batch moves.
+
+    The dual of :func:`broadcast_search` with the roles flipped — exactly
+    Spark's broadcast-join side choice applied to serving: the index side
+    (huge) is pre-partitioned by shard and persisted
+    (:func:`prepare_scan_side`, one shuffle EVER); each query batch is
+    collected and broadcast (small side), and one ``applyInPandas`` task
+    per shard beam-searches the resident shard against every query. Per
+    batch the only exchange is the final top-k merge, carrying
+    O(q · k' · shards) rows — corpus bytes never move again, unlike the
+    cogrouped :func:`search`, which re-exchanges the corpus every batch.
+    Use cogrouped search only for one-shot queries or query sets too large
+    to collect (> ~1M rows).
+    """
+    spark = queries.sparkSession
+    per_shard_k = max(k, beam_width if params.num_shards > 1 else k)
+    metric = params.metric
+    dtype = np.int64 if metric == "hamming" else np.float32
+    has_entries = "entries" in scan_side.columns
+    q_pd = queries.select(
+        F.col("query_id").cast("long").alias("query_id"), F.col("qvec")
+    ).toPandas()
+    bc = spark.sparkContext.broadcast(q_pd)
+
+    def run(index_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _shard_search_pdf(
+            index_pdf, bc.value, metric, dtype, per_shard_k, beam_width,
+            has_entries,
+        )
+
+    candidates = scan_side.groupBy("shard").applyInPandas(
+        lambda pdf: run(pdf), schema=RESULT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )
 
 
 def materialize_shards(

@@ -46,6 +46,11 @@ class DiskANNIndex:
     # index is immutable once built (reference has no insert-after-build,
     # SURVEY §2.5)
     _shards_bc: object = None
+    # lazily-built scan side (scan search mode): (vectors ⋈ graph)
+    # hash-partitioned by shard and persisted — the one-time corpus
+    # shuffle that lets every later query batch run with zero corpus
+    # movement
+    _scan_side: object = None
 
     def _broadcast_shards(self):
         if self._shards_bc is None:
@@ -55,6 +60,14 @@ class DiskANNIndex:
                 )
             )
         return self._shards_bc
+
+    def _get_scan_side(self):
+        if self._scan_side is None:
+            self._scan_side = search_ops.prepare_scan_side(
+                self.vectors, self.graph
+            )
+            self._scan_side.count()
+        return self._scan_side
 
     @property
     def params(self) -> IndexParams:
@@ -85,9 +98,10 @@ class DiskANNIndex:
         (exact shard-and-merge).
 
         ``mode``: "auto" picks by the footprint estimate below;
-        "broadcast"/"cogroup" force a strategy — the same escape hatch
-        Spark gives joins (the broadcast() hint) for when the caller
-        knows executor memory better than the static threshold does.
+        "broadcast"/"scan"/"cogroup" force a strategy — the same escape
+        hatch Spark gives joins (the broadcast() hint) for when the
+        caller knows executor memory better than the static threshold
+        does.
 
         Physical strategy (the broadcast-join vs shuffle-join analogy):
 
@@ -97,14 +111,21 @@ class DiskANNIndex:
           broadcast variable and search is ONE narrow mapInPandas over
           queries — zero shuffles (the reference's own regime: a
           RAM-resident index, parallel query batch, README.md:120-134).
-        - **cogrouped mode** otherwise: per-shard tasks + windowed top-k
-          merge (the 100 TB path; shuffle carries O(q*k*shards) rows).
-          ``query_blocks=None`` sizes task fan-out to
-          ``defaultParallelism // num_shards`` so few-shard indexes still
-          use the whole cluster; pass ``query_blocks=1`` to disable.
+        - **scan mode** otherwise (the 100 TB steady-state path): the
+          index side is hash-partitioned by shard + persisted ONCE; each
+          query batch is collected + broadcast (the small side) and one
+          task per shard searches the resident shard. Per batch, only the
+          top-k merge shuffles (O(q*k'*shards) rows) — corpus bytes never
+          move again.
+        - **cogrouped mode** (explicit only): corpus and queries cogroup-
+          exchange per batch. Right only for one-shot searches or query
+          sets too large to collect; ``query_blocks=None`` sizes task
+          fan-out to ``defaultParallelism // num_shards``.
         """
-        if mode not in ("auto", "broadcast", "cogroup"):
-            raise ValueError(f"mode must be auto|broadcast|cogroup, got {mode!r}")
+        if mode not in ("auto", "broadcast", "scan", "cogroup"):
+            raise ValueError(
+                f"mode must be auto|broadcast|scan|cogroup, got {mode!r}"
+            )
         m = self.meta
         elem = 8 if m.elem_type == "long" else 4
         est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
@@ -114,6 +135,10 @@ class DiskANNIndex:
             return search_ops.broadcast_search(
                 queries, self.vectors, self.graph, self.params, k, beam_width,
                 shard_probes=shard_probes, shards_bc=self._broadcast_shards(),
+            )
+        if mode in ("auto", "scan"):
+            return search_ops.scan_search(
+                queries, self._get_scan_side(), self.params, k, beam_width
             )
         if query_blocks is None:
             par = self.spark.sparkContext.defaultParallelism

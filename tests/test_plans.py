@@ -146,3 +146,32 @@ def test_exact_knn_huge_query_side_not_broadcast(spark):
     # (small corpus) side instead of shipping the 1M-row query side
     assert "BuildLeft" in plan or "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastExchange") <= 1
+
+
+def test_scan_mode_matches_broadcast_mode(spark, sf_dir):
+    """Scan search (resident corpus, broadcast queries — the >memory
+    steady-state path) must return exactly the broadcast-mode rows, and
+    its candidate stage must read the persisted pre-partitioned side (an
+    InMemoryTableScan below the applyInPandas, not a fresh corpus join)."""
+    import tempfile, shutil, os as _os
+    from rust_diskann_spark import IndexParams, build_index
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    path = tempfile.mkdtemp(prefix="rds_scan_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = build_index(
+        vectors, path,
+        params=IndexParams(max_degree=16, build_beam_width=32, num_shards=3, seed=3),
+    )
+    res_b = idx.search_with_dists(queries, k=5, beam_width=64, mode="broadcast")
+    res_s = idx.search_with_dists(queries, k=5, beam_width=64, mode="scan")
+    rows_b = sorted(map(tuple, res_b.collect()))
+    rows_s = sorted(map(tuple, res_s.collect()))
+    assert rows_b == rows_s
+    plan = res_s._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # reads the persisted scan side
+    shutil.rmtree(path, ignore_errors=True)
