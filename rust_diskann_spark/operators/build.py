@@ -275,8 +275,17 @@ def build_graph(vectors: DataFrame, params: IndexParams) -> DataFrame:
             }
         )
 
+    # Over-provision the hash buckets: repartition(num_shards, "shard")
+    # satisfies applyInPandas's ClusteredDistribution, so the groupBy adds
+    # NO second exchange — but hashing n units into n buckets leaves ~1/e
+    # buckets empty and packs 2-4 units into others, and a task that
+    # builds several large cells serially becomes the stage straggler
+    # (observed at 1M x 64 cells: one task ran ~20 min past the rest).
+    # 16x buckets make collisions rare; AQE coalesces the empties
+    # size-aware, so two big cells are never re-merged into one task.
+    n_buckets = max(256, 16 * params.num_shards)
     return (
-        vectors.repartition(params.num_shards, "shard")
+        vectors.repartition(n_buckets, "shard")
         .groupBy("shard")
         .applyInPandas(build_shard, schema=GRAPH_SCHEMA)
     )
