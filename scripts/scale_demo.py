@@ -49,7 +49,11 @@ K = 10
 # ~2x the neighbors of the r1 graph and a narrower beam reaches the same
 # recall. Measured on the 100k merged index (stride-200 GT): beam 48 ->
 # recall 0.9970 @ 1,314 q/s single-thread vs beam 128 -> 0.9985 @ 531.
-BEAM = 48
+# beam scales with corpus size: top-10 neighborhoods sit deeper in denser
+# clusters, so the working set must grow with n (the reference's SIFT1M
+# run uses beam 512, README.md:222-228). 48 suffices at 100k (recall
+# 0.995); 1M measured 0.88 at 48 — override with RDS_BEAM for sweeps.
+BEAM = int(os.environ.get("RDS_BEAM", "48" if N <= 200_000 else "160"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
@@ -115,17 +119,39 @@ def main() -> None:
     # — each cell is one coherent build task, search cost is
     # cell-count-independent (one merged graph).
     n_shards = CLUSTERS if MODE == "merged" else max(2, int(CPUS) // 2)
+    # build params scale with corpus density like search beam does: the
+    # reference's SIFT1M config is M=64, L=128 (README.md:219-220); at 1M
+    # our L=64 build plateaued at recall 0.975 even at search beam 256
+    # (uniform tail misses = graph quality, not entry coverage), so large
+    # N defaults to the reference's L. M stays 32: the overlap-2 merged
+    # union already runs mean degree ~55.
+    max_deg = int(os.environ.get("RDS_MAX_DEGREE", "32"))
+    build_beam = int(
+        os.environ.get("RDS_BUILD_BEAM", "64" if N <= 200_000 else "128")
+    )
     params = IndexParams(
-        max_degree=32, build_beam_width=64, num_shards=n_shards, seed=42,
+        max_degree=max_deg, build_beam_width=build_beam, num_shards=n_shards,
+        seed=42,
         shard_by="kmeans" if CORPUS == "clustered" else "hash",
         merge_shards=(MODE == "merged"),
     )
     idx_path = os.path.join(tempfile.gettempdir(), "rds_scale_idx")
-    shutil.rmtree(idx_path, ignore_errors=True)
+    # RDS_REUSE_IDX=1: reopen an existing index dir instead of rebuilding —
+    # for sweeping search-side knobs (beam width) without paying the build
+    # again. build_sec is reported as null in that case.
+    reuse = os.environ.get("RDS_REUSE_IDX") == "1" and os.path.exists(
+        os.path.join(idx_path, "metadata.json")
+    )
+    if reuse:
+        from rust_diskann_spark import open_index
 
-    t0 = time.perf_counter()
-    idx = build_index(base, idx_path, params)
-    build_s = time.perf_counter() - t0
+        idx = open_index(spark, idx_path)
+        build_s = None
+    else:
+        shutil.rmtree(idx_path, ignore_errors=True)
+        t0 = time.perf_counter()
+        idx = build_index(base, idx_path, params)
+        build_s = time.perf_counter() - t0
 
     queries = base.filter(F.col("id") % (N // Q) == 0).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec")
@@ -231,8 +257,10 @@ def main() -> None:
                 "n_vectors": N,
                 "dim": DIM,
                 "n_queries": n_q,
-                "build_sec": round(build_s, 2),
-                "build_vecs_per_sec": round(N / build_s, 1),
+                "build_sec": round(build_s, 2) if build_s else None,
+                "build_vecs_per_sec": (
+                    round(N / build_s, 1) if build_s else None
+                ),
                 "search_sec": round(search_s, 2),
                 "search_qps": round(n_q / search_s, 1),
                 "search_qps_steady_state": round(n_q / steady_s, 1),
@@ -243,7 +271,8 @@ def main() -> None:
                     round(recall_p, 5) if recall_p is not None else None
                 ),
                 "beam_width": BEAM,
-                "params": {"max_degree": 32, "build_beam_width": 64,
+                "params": {"max_degree": max_deg,
+                           "build_beam_width": build_beam,
                            "num_shards": n_shards, "shard_by": params.shard_by},
                 "baseline_sift1m": {"build_vecs_per_sec": 255.3,
                                     "search_qps": 24379, "recall_at_10": 0.99971},
