@@ -448,6 +448,28 @@ def _ivf_recall_probe(n_probe: int):
     return run
 
 
+def _ivf_probe_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-degenerate oracle for the PROBE path (the trick the ANN
+    queries use, FIXTURES.md F1-F5 regime): with n_probe == n_cells == 2
+    every cell is probed, so the probed search is provably exact kNN and
+    the brute-force oracle applies to the probe-routing + merge code
+    itself — unlike ivf_knn_fullprobe, which exercises the n_probe=None
+    scan-all branch."""
+    res = IVF.ivf_knn(
+        _qset(spark, sf_dir),
+        _corpus(spark, sf_dir),
+        k=K,
+        metric="l2",
+        n_cells=2,
+        n_probe=2,
+        iters=2,
+        seed=42,
+    )
+    return res.select(
+        "query_id", "rank", "id", (F.round("dist", RND) + F.lit(0.0)).alias("dist")
+    )
+
+
 def _ivf_self_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable property of the probe path (n_probe=2): every query
     is itself a corpus member, its own cell is by definition its nearest
@@ -1268,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_fullprobe": _ivf_query(_IVF_CELLS),
         "ivf_knn_probe2": _ivf_query(2),
         "ivf_recall_probe2": _ivf_recall_probe(2),
+        "ivf_oracle_probe2": _ivf_probe_degenerate,
         "ivf_self_hit": _ivf_self_hit,
         # dedup suite
         "dedup_exact": _dedup_exact,
@@ -1326,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_fullprobe": _knn_oracle("l2"),
         # ivf_knn_probe2 / ivf_recall_probe2 are approximate — rows-only;
         # ivf_self_hit pins the probe path's routing property exactly
+        "ivf_oracle_probe2": _knn_oracle("l2"),
         "ivf_self_hit": _ivf_self_hit_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "minhash_signatures": _minhash_sigs_oracle(),
