@@ -396,6 +396,52 @@ def _ann_degenerate_query(metric: str, merged: bool = False):
     return run
 
 
+def _ann_degenerate_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-degenerate ANN over u64 sign-bit vectors (reference
+    lib.rs:22-29's Hamming element type) — the graph path for the one
+    metric the float degenerate queries don't cover. n <= beam, so beam
+    search explores every node and equals exact kNN; hamming dists are
+    integers, so the kernel's values are exact (no rescore needed)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _ANN_SMALL_N)
+    sigs = emb.select(
+        F.col("vec_id").alias("id"), _sign_words_expr(F.col("embedding")).alias("vec")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"rds_idx_small_ham_{abs(hash(sf_dir)) % 10**8}",
+    )
+    idx = build_index(
+        sigs, path, params=IndexParams(metric="hamming", **_ANN_PARAMS)
+    )
+    qs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        _sign_words_expr(F.col("embedding")).alias("qvec"),
+    )
+    res = idx.search_with_dists(qs, k=K, beam_width=128)
+    return res.select(
+        "query_id", "rank", "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _ann_degenerate_hamming_oracle() -> str:
+    sw = _sql_sign_words("embedding")
+    d = (
+        "(bit_count(xor(qs.w[1], es.w[1])) + bit_count(xor(qs.w[2], es.w[2])))::bigint"
+    )
+    return f"""
+        with es as (select vec_id as id, {sw} as w from embeddings
+                    where vec_id < {_ANN_SMALL_N}),
+        qs as (select vec_id as query_id, {sw} as w from embeddings
+               where vec_id % 100 = 0),
+        scored as (
+          select qs.query_id, es.id, {d} as dist,
+                 row_number() over (partition by qs.query_id order by {d}, es.id) as rank
+          from es cross join qs
+        )
+        select query_id, rank, id, dist from scored where rank <= {K}
+    """
+
+
 def _ann_degenerate_oracle(metric: str) -> str:
     d = _DIST_SQL[metric].format(a="e.embedding", b="q.qvec")
     return f"""
@@ -1287,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_oracle_l2": _ann_degenerate_query("l2"),
         "ann_oracle_cosine": _ann_degenerate_query("cosine"),
         "ann_oracle_merged": _ann_degenerate_query("l2", merged=True),
+        "ann_oracle_hamming": _ann_degenerate_hamming,
         "ivf_knn_fullprobe": _ivf_query(_IVF_CELLS),
         "ivf_knn_probe2": _ivf_query(2),
         "ivf_recall_probe2": _ivf_recall_probe(2),
@@ -1345,6 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_oracle_l2": _ann_degenerate_oracle("l2"),
         "ann_oracle_cosine": _ann_degenerate_oracle("cosine"),
         "ann_oracle_merged": _ann_degenerate_oracle("l2"),
+        "ann_oracle_hamming": _ann_degenerate_hamming_oracle(),
         # full-probe IVF scans every cell => exact kNN, same oracle as D5
         "ivf_knn_fullprobe": _knn_oracle("l2"),
         # ivf_knn_probe2 / ivf_recall_probe2 are approximate — rows-only;
