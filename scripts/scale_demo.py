@@ -147,6 +147,14 @@ def main() -> None:
 
         idx = open_index(spark, idx_path)
         build_s = None
+        # the dir is shared across demo configs — searching a stale index
+        # from a different run silently reports garbage recall (measured:
+        # 1M queries against a leftover 100k index -> recall 0.0004)
+        if idx.meta.num_vectors != N:
+            raise SystemExit(
+                f"RDS_REUSE_IDX: index at {idx_path} holds "
+                f"{idx.meta.num_vectors} vectors, run wants {N} — rebuild"
+            )
     else:
         shutil.rmtree(idx_path, ignore_errors=True)
         t0 = time.perf_counter()
