@@ -124,6 +124,7 @@ def main() -> None:
         "ivf_knn_fullprobe",
         "ivf_knn_probe2",
         "minhash_lsh_pairs",
+        "minhash_verified_pairs",
         "simhash_near_dups",
         "dedup_exact",
         "dedup_components",

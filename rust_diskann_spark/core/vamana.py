@@ -104,6 +104,46 @@ def sq_norms(vectors: np.ndarray) -> np.ndarray:
     return np.einsum("ij,ij->i", vectors, vectors, dtype=np.float64)
 
 
+@dataclass
+class QuantizedCorpus:
+    """Global-scalar int8 quantization of a shard's vectors, for the
+    l2 search traversal (r3 bandwidth work): ``code = clip(rint(v *
+    scale), -127, 127)``. A single global scale is an isometry of l2 up
+    to rounding (per-dim scales would not be), so code-space squared
+    distances order candidates almost exactly like real distances; the
+    f64 finalization re-scores the surviving working set against the
+    full-precision vectors, so returned (dist, id) rankings are exact.
+    Quartering the gather traffic of the dominant stream (4x fewer bytes
+    per corpus row than f32) is the same bytes-per-expansion lever as
+    r2's f32 traversal and id-major bit-packed visited set — the kernel
+    is memory-bandwidth-bound at 32 workers, not compute-bound.
+    """
+
+    codes: np.ndarray  # (n, d) int8
+    scale: float  # real -> code multiplier (global)
+    sqn_q: np.ndarray  # (n,) float32, squared norms of codes
+
+
+def quantize_corpus(vectors: np.ndarray) -> QuantizedCorpus:
+    """Build the int8 traversal view of a shard (see QuantizedCorpus).
+    SIFT-style u8-valued corpora (integers in [0, 255]) quantize
+    losslessly; float corpora get step = amax/127 rounding noise, far
+    below typical inter-candidate distance gaps.
+
+    (r3 negative result, recorded so it is not retried: a prefix-dims
+    admission prefilter — exact lower bound over the first d/4 dims,
+    ADSampling-style — measured 261 vs 325 q/s single-proc at 1M: the
+    bound prunes only candidates >=4x past the threshold, too few to pay
+    for the extra partial gather+einsum pass.)"""
+    amax = float(np.abs(vectors).max())
+    scale = 127.0 / amax if amax > 0 else 1.0
+    codes = np.clip(np.rint(vectors.astype(np.float32) * scale), -127, 127).astype(
+        np.int8
+    )
+    sqn_q = np.einsum("ij,ij->i", codes, codes, dtype=np.int32).astype(np.float32)
+    return QuantizedCorpus(codes=codes, scale=scale, sqn_q=sqn_q)
+
+
 def _make_dist_ids(
     metric: str,
     vectors: np.ndarray,
@@ -515,6 +555,7 @@ def beam_search(
     beam_width: int,
     sqnorms: np.ndarray | None = None,
     entries: np.ndarray | None = None,
+    quant: QuantizedCorpus | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Query-time top-k (reference lib.rs:635-693): beam search from the
     medoid (plus any extra ``entries`` — see IndexParams.entry_points),
@@ -530,7 +571,7 @@ def beam_search(
         sqnorms = sq_norms(vectors)
     return _beam_block(
         vectors, graph, metric, medoid,
-        np.asarray(query)[None, :], k, beam, sqnorms, entries,
+        np.asarray(query)[None, :], k, beam, sqnorms, entries, quant=quant,
     )[0]
 
 
@@ -546,6 +587,7 @@ def beam_search_batch(
     max_block: int = 64,
     entries: np.ndarray | None = None,
     fanout: int = FANOUT,
+    quant: QuantizedCorpus | None = None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Lockstep batch of :func:`beam_search` — identical per-query results
     (asserted in tests): each query's state machine is independent, so
@@ -553,20 +595,25 @@ def beam_search_batch(
     round is blind to the block composition. All per-round work
     (candidate gather, distance eval, working-set merge) is numpy across
     the whole block — no per-candidate Python. Queries run in blocks of
-    ``max_block`` to bound the (block x n) visited bitmap.
+    ``max_block`` to bound the packed visited-set words.
+
+    ``quant``: optional int8 traversal view (:func:`quantize_corpus`) —
+    l2 only; final (dist, id) output stays full-precision via the f64
+    re-score.
     """
     n = vectors.shape[0]
     beam = max(beam_width, k)
     if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
     out: list[tuple[np.ndarray, np.ndarray]] = []
-    # bound visited bitmap to ~64 MB
-    block = max(1, min(max_block, (64 << 20) // max(n, 1)))
+    # bound the id-major packed visited words (8 * ceil(block/64) bytes
+    # per corpus id) to ~64 MB per block
+    block = max(1, min(max_block, 64 * max(1, (8 << 20) // max(n, 1))))
     for lo in range(0, len(qmat), block):
         out.extend(
             _beam_block(
                 vectors, graph, metric, medoid, qmat[lo : lo + block],
-                k, beam, sqnorms, entries, fanout,
+                k, beam, sqnorms, entries, fanout, quant=quant,
             )
         )
     return out
@@ -598,7 +645,7 @@ def greedy_search_batch_visited(
     if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
     out: list[tuple[np.ndarray, np.ndarray]] = []
-    block = max(1, min(max_block, (64 << 20) // max(n, 1)))
+    block = max(1, min(max_block, 64 * max(1, (8 << 20) // max(n, 1))))
     for lo in range(0, len(qmat), block):
         out.extend(
             _beam_block(
@@ -611,7 +658,8 @@ def greedy_search_batch_visited(
 
 
 def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
-                entries=None, fanout=FANOUT, seeds_per_q=None, collect=False):
+                entries=None, fanout=FANOUT, seeds_per_q=None, collect=False,
+                quant=None):
     """Vectorized classical Vamana search over a block of queries.
 
     State per query is a (dist, id, expanded) working set of size ``beam``
@@ -643,6 +691,11 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
     B = len(qblock)
     q64 = np.asarray(qblock, dtype=np.float64)
     use_norm = metric == "l2" and sqnorms is not None
+    # int8 traversal (see QuantizedCorpus): code-space SQUARED distances
+    # (monotonic with real l2 — no sqrt needed mid-search) over int8
+    # gathers; blocked on the collect path because the build prunes on
+    # the traversal distances themselves.
+    use_quant = use_norm and quant is not None and not collect
     if use_norm:
         qq = np.einsum("ij,ij->i", q64, q64)
         # f32 traversal: the candidate-eval einsum is the kernel's dominant
@@ -654,9 +707,16 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         # RETURNED (dist, id) ordering is full-precision — in the
         # degenerate oracle regime (beam >= n: the working set holds every
         # node) the output is bit-identical to an all-f64 traversal.
-        q32 = np.asarray(qblock, dtype=np.float32)
-        qq32 = qq.astype(np.float32)
-        sqn32 = sqnorms.astype(np.float32)
+        if use_quant:
+            qcode = np.clip(np.rint(q64 * quant.scale), -127, 127).astype(
+                np.float32
+            )
+            qq_code = np.einsum("ij,ij->i", qcode, qcode)
+            codes, sqn_code = quant.codes, quant.sqn_q
+        else:
+            q32 = np.asarray(qblock, dtype=np.float32)
+            qq32 = qq.astype(np.float32)
+            sqn32 = sqnorms.astype(np.float32)
     elif metric in ("cosine", "dot"):
         # same f32-traversal/f64-finalize scheme as l2 (comment above);
         # replaces the r2 per-query _rowwise_dist Python loop per round
@@ -672,6 +732,16 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         q_int = np.asarray(qblock, dtype=np.uint64)
 
     def dists_for(qidx: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        if use_quant:
+            # int8 gather (4x fewer bytes off the corpus array than f32),
+            # cache-resident f32 upcast of just the gathered rows, code-
+            # space squared distance — ordering-equivalent to real l2
+            rows = codes[ids].astype(np.float32)
+            return (
+                sqn_code[ids]
+                - 2.0 * np.einsum("ij,ij->i", rows, qcode[qidx])
+                + qq_code[qidx]
+            )
         if use_norm:
             rows = vectors[ids]
             qrows = q32[qidx]
@@ -697,18 +767,20 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
     wd = np.full((B, beam), np.inf, dtype=np.float64)
     wi = np.full((B, beam), _PAD_ID, dtype=np.int64)
     we = np.ones((B, beam), dtype=bool)
-    # visited set, id-major bit-packed when the block fits a machine word
-    # (the default max_block is 64): one uint64 per corpus id, bit b =
-    # "query-lane b visited this id". 8x smaller than the (B, n) bool
-    # bitmap (8 MB vs 64 MB per block at n=1M) and one cache line of
-    # words serves all lanes of the block — the bool layout made every
-    # lane pull its own line for the same candidate id. Result-identical.
-    if B <= 64:
+    # visited set, id-major bit-packed: one uint64 word-group per corpus
+    # id, bit b = "query-lane b visited this id". 8x smaller than a
+    # (B, n) bool bitmap (8 MB vs 64 MB per block at n=1M, B=64) and one
+    # cache line of words serves all lanes of the block — a bool layout
+    # makes every lane pull its own line for the same candidate id.
+    # Blocks wider than 64 use W = ceil(B/64) words per id (r3: replaces
+    # the bool-bitmap fallback entirely), keeping wide blocks packed so
+    # per-round Python dispatch amortizes over more lanes.
+    # Result-identical to the bool bitmap in all cases.
+    W = (B + 63) >> 6
+    if W == 1:
         vwords = np.zeros(n, dtype=np.uint64)
-        visited = None
     else:
-        vwords = None
-        visited = np.zeros((B, n), dtype=bool)
+        vwords = np.zeros((n, W), dtype=np.uint64)
 
     coll_r: list[np.ndarray] = []
     coll_i: list[np.ndarray] = []
@@ -717,14 +789,17 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
     if seeds_per_q is not None:
         S = seeds_per_q.shape[1]
         ss = np.sort(np.asarray(seeds_per_q, dtype=np.int64), axis=1)
-        if visited is None:
+        lanes = np.repeat(np.arange(B, dtype=np.int64), S)
+        if W == 1:
             np.bitwise_or.at(
-                vwords,
-                ss.ravel(),
-                np.uint64(1) << np.repeat(np.arange(B, dtype=np.uint64), S),
+                vwords, ss.ravel(), np.uint64(1) << lanes.astype(np.uint64)
             )
         else:
-            visited[np.arange(B)[:, None], ss] = True
+            np.bitwise_or.at(
+                vwords,
+                (ss.ravel(), lanes >> 6),
+                np.uint64(1) << (lanes & 63).astype(np.uint64),
+            )
         d0 = dists_for(
             np.repeat(np.arange(B, dtype=np.int64), S), ss.ravel()
         ).reshape(B, S)
@@ -760,10 +835,14 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         # (far seeds are evicted without ever being expanded; the d0 routing
         # matrix already costs the same einsum) and LOWERED recall ~2.5pt —
         # distant entries act as free long-range shortcuts. So: all seeds.
-        if visited is None:
+        if W == 1:
             vwords[seed_ids] |= np.uint64((1 << B) - 1)
         else:
-            visited[:, seed_ids] = True
+            full = np.full(W, np.iinfo(np.uint64).max, dtype=np.uint64)
+            rem = B & 63
+            if rem:
+                full[-1] = np.uint64((1 << rem) - 1)
+            vwords[seed_ids] |= full
         if collect:
             coll_r.append(np.repeat(np.arange(B, dtype=np.int64), E))
             coll_i.append(np.tile(seed_ids, B))
@@ -802,10 +881,12 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         valid = (col_idx < deg[cur][:, None]).ravel()
         rows = np.repeat(rws, cap)[valid]  # nondecreasing
         ids = nbrs.ravel()[valid].astype(np.int64)
-        if visited is None:
+        if W == 1:
             fresh = (vwords[ids] >> rows.astype(np.uint64)) & np.uint64(1) == 0
         else:
-            fresh = ~visited[rows, ids]
+            fresh = (
+                vwords[ids, rows >> 6] >> (rows & 63).astype(np.uint64)
+            ) & np.uint64(1) == 0
         rows, ids = rows[fresh], ids[fresh]
         if len(ids) == 0:
             continue
@@ -813,12 +894,25 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
         # share a neighbor, and the working set must stay duplicate-free
         key = np.unique(rows * n + ids)
         rows, ids = key // n, key % n
-        if visited is None:
-            np.bitwise_or.at(
-                vwords, ids, np.uint64(1) << rows.astype(np.uint64)
+        if W == 1:
+            # vectorized scatter-OR: np.bitwise_or.at is a per-element
+            # scalar ufunc loop (~8% of kernel time profiled at 1M);
+            # ids arrive sorted by (row, id), so sort by id and OR-reduce
+            # each id's bit group with C-speed reduceat, then one
+            # fancy-index OR-assign per distinct id
+            bits = np.uint64(1) << rows.astype(np.uint64)
+            order = np.argsort(ids, kind="stable")
+            sid = ids[order]
+            starts = np.concatenate(
+                ([0], np.nonzero(np.diff(sid))[0] + 1)
             )
+            vwords[sid[starts]] |= np.bitwise_or.reduceat(bits[order], starts)
         else:
-            visited[rows, ids] = True
+            np.bitwise_or.at(
+                vwords,
+                (ids, rows >> 6),
+                np.uint64(1) << (rows & 63).astype(np.uint64),
+            )
         ds = dists_for(rows, ids)
         if collect:
             coll_r.append(rows)

@@ -353,10 +353,19 @@ def dedup_components(
         e_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.persist()
+    # fused round 1: labels init directly to min(id, min neighbor id) —
+    # one groupBy instead of a full join+groupBy+checkpoint round (for
+    # dup near-cliques this alone is often already the fixpoint)
     labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("lab", F.col("id"))
-    )
-    for _ in range(max_iters):
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_lab"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nbr_lab")).alias("lab"),
+        )
+    ).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iters - 1):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
@@ -370,7 +379,19 @@ def dedup_components(
         changed = new_labels.filter(F.col("lab") < F.col("old_lab")).count()
         labels = new_labels.select("id", "lab")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_components: min-label propagation did not converge in "
+            f"{max_iters} rounds — components with min-id eccentricity > "
+            f"{max_iters} are split. Use the large-star/small-star variant "
+            f"(Kiveris et al., SoCC'14) for adversarial long-chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("lab").alias("cluster_rep"))
 

@@ -203,6 +203,92 @@ def ivf_search(
     )
 
 
+def sampled_centroids_df(
+    vectors: DataFrame, n_cells: int, id_col: str = "id", vec_col: str = "vec"
+) -> DataFrame:
+    """(cell INT, centroid ARRAY<DOUBLE>): the ``n_cells`` corpus rows
+    with smallest ``(md5(cast(id as string)), id)`` — a deterministic,
+    engine-portable pseudo-random centroid pick (the md5-bucket trick of
+    operators/sampling.py): DuckDB's ``md5(cast(id as varchar))``
+    produces the identical hex, so an ANSI-SQL oracle can reconstruct
+    the exact centroid set and numbering. ``orderBy().limit()`` compiles
+    to TakeOrdered — no global sort shuffle; the row_number window then
+    runs on n_cells rows."""
+    base = _base(vectors, id_col, vec_col)
+    top = (
+        base.select(
+            "id", "vec", F.md5(F.col("id").cast("string").cast("binary")).alias("h")
+        )
+        .orderBy("h", "id")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("h", "id")
+    return top.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell"),
+        F.col("vec").alias("centroid"),
+    )
+
+
+def ivf_sampled_knn(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    metric: str = "l2",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF probe search with md5-sampled centroids and NO Lloyd
+    iterations — the oracle-parity variant: every stage (centroid pick,
+    cell assignment, probe routing, probed scan) is a deterministic
+    JVM-side SQL fold an ANSI-SQL oracle replicates exactly, which turns
+    the sub-linear probe path (n_probe < n_cells) from rows-only into a
+    hash-matched contract row. The kmeans variant (:func:`ivf_knn`)
+    remains the quality/scale path — this one pins the ROUTING + merge
+    semantics end-to-end.
+
+    Assignment here is a broadcast cross-join + per-id window (exact
+    same ``distance_expr`` arithmetic as the oracle); the scale path's
+    narrow ``mapInPandas`` argmin (:func:`_assign_map`) is numerically
+    equivalent but fold-order-different, which matters only for this
+    oracle use."""
+    cents = sampled_centroids_df(vectors, n_cells).persist()
+    base = _base(vectors, "id", "vec")
+    d_assign = distance_expr(metric, F.col("vec"), F.col("centroid"))
+    w_assign = Window.partitionBy("id").orderBy("ad", "cell")
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("ad", d_assign)
+        .withColumn("arank", F.row_number().over(w_assign))
+        .filter(F.col("arank") == 1)
+        .select("cell", "id", "vec")
+    )
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("query_id"),
+        F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    d_probe = distance_expr(metric, F.col("qv"), F.col("centroid"))
+    w_probe = Window.partitionBy("query_id").orderBy("cd", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cd", d_probe)
+        .withColumn("crank", F.row_number().over(w_probe))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    d = distance_expr(metric, F.col("qv"), F.col("vec"))
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id", "id", d.alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )
+
+
 def ivf_knn(
     queries: DataFrame,
     vectors: DataFrame,

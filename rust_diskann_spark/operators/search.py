@@ -35,6 +35,25 @@ from rust_diskann_spark.params import IndexParams
 
 RESULT_SCHEMA = "query_id BIGINT, id BIGINT, dist DOUBLE"
 
+# scan_search collects the query batch to the driver before broadcasting
+# it (the corpus side stays resident); cap the collected rows so a huge
+# batch fails loudly instead of OOMing the driver — route those through
+# the cogrouped search, which never collects (r2 ADVICE medium item).
+SCAN_QUERY_COLLECT_CAP = 1_000_000
+
+# int8 traversal (core.vamana.QuantizedCorpus) kicks in for l2 shards at
+# least this large: below it the shard is cache-resident anyway and the
+# quantization step costs more than the bandwidth it saves (and the
+# contract's small degenerate-oracle shards stay on the untouched f32
+# path). The traversal gain was measured on the 1M snapshot at 32 procs.
+QUANTIZE_MIN_ROWS = 4096
+
+
+def _maybe_quant(metric: str, mat: np.ndarray):
+    if metric == "l2" and mat.shape[0] >= QUANTIZE_MIN_ROWS:
+        return vamana.quantize_corpus(mat)
+    return None
+
 
 def _shard_search_pdf(
     index_pdf: pd.DataFrame,
@@ -76,7 +95,7 @@ def _shard_search_pdf(
     qmat = np.asarray(q_pdf["qvec"].tolist(), dtype=dtype)
     results = vamana.beam_search_batch(
         mat, graph, metric, medoid_local, qmat, per_shard_k, beam_width,
-        sqnorms=sqn, entries=ent,
+        sqnorms=sqn, entries=ent, quant=_maybe_quant(metric, mat),
     )
     for qid, (ids, dists) in zip(q_pdf["query_id"], results):
         out_q.extend([int(qid)] * len(ids))
@@ -207,6 +226,12 @@ def scan_search(
     q_pd = queries.select(
         F.col("query_id").cast("long").alias("query_id"), F.col("qvec")
     ).toPandas()
+    if len(q_pd) > SCAN_QUERY_COLLECT_CAP:
+        raise ValueError(
+            f"scan_search collected {len(q_pd)} queries > cap "
+            f"{SCAN_QUERY_COLLECT_CAP}: batches this large should use the "
+            "cogrouped search (mode='cogroup'), which never collects"
+        )
     bc = spark.sparkContext.broadcast(q_pd)
 
     def run(index_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -259,9 +284,64 @@ def materialize_shards(
             ent = np.array(
                 [pos[int(g)] for g in pdf["entries"].iloc[0]], dtype=np.int64
             )
-        sqn = vamana.sq_norms(mat) if metric == "l2" else None
-        shards[int(shard_id)] = (gids, mat, graph, medoid_local, sqn, ent)
+        # l2 AND cosine: _shard_search_pdf / beam_search_batch consume
+        # sqnorms for both (cosine derives row norms from them) — caching
+        # here saves recomputing over the whole shard per query batch
+        # (r2 ADVICE low item)
+        sqn = vamana.sq_norms(mat) if metric in ("l2", "cosine") else None
+        # int8 traversal view computed ONCE here so every query batch
+        # reuses it (r3; see QUANTIZE_MIN_ROWS)
+        shards[int(shard_id)] = (
+            gids, mat, graph, medoid_local, sqn, ent, _maybe_quant(metric, mat),
+        )
     return shards
+
+
+def _shard_route_dists(metric, qmat: np.ndarray, shard_list) -> np.ndarray:
+    """(n_q, n_shards) routing distances for probed search: per shard the
+    MIN over its routing points (medoid + FPS entry set). Vectorized as
+    one (n_q, n_points) distance matrix segment-min-reduced per shard —
+    points are concatenated per-shard-contiguous so
+    ``np.minimum.reduceat`` does the reduction without a Python loop.
+    For l2 the squared distance is used (monotonic — routing only
+    compares)."""
+    pts, seg_starts = [], []
+    n_pts = 0
+    for gids, mat, graph, medoid_local, sqn, ent, *_rest in shard_list:
+        ids = [medoid_local]
+        if ent is not None:
+            ids.extend(int(e) for e in ent)
+        seg_starts.append(n_pts)
+        pts.append(mat[np.array(sorted(set(ids)), dtype=np.int64)])
+        n_pts += len(pts[-1])
+    P = np.concatenate(pts).astype(
+        np.float64 if metric == "hamming" else np.float32
+    )
+    q = np.asarray(qmat, dtype=P.dtype)
+    if metric == "l2":
+        pp = np.einsum("ij,ij->i", P, P)
+        qq = np.einsum("ij,ij->i", q, q)
+        d = qq[:, None] - 2.0 * (q @ P.T) + pp[None, :]
+    elif metric == "dot":
+        d = 1.0 - q @ P.T
+    elif metric == "cosine":
+        pn = np.sqrt(np.einsum("ij,ij->i", P, P))
+        qn = np.sqrt(np.einsum("ij,ij->i", q, q))
+        denom = qn[:, None] * pn[None, :]
+        num = q @ P.T
+        d = 1.0 - np.where(denom > 0, num / np.where(denom > 0, denom, 1.0), 0.0)
+    else:  # hamming — loop over the (few) routing points, not the queries
+        qi = np.asarray(qmat, dtype=np.uint64)
+        Pi = P.astype(np.uint64)
+        d = np.empty((len(qi), len(Pi)), dtype=np.float64)
+        for j in range(len(Pi)):
+            x = np.bitwise_xor(qi, Pi[j][None, :])
+            d[:, j] = (
+                vamana._POPCOUNT_LUT[x.view(np.uint8)]
+                .reshape(len(qi), -1)
+                .sum(axis=1)
+            )
+    return np.minimum.reduceat(d, np.array(seg_starts, dtype=np.int64), axis=1)
 
 
 def broadcast_search(
@@ -287,11 +367,15 @@ def broadcast_search(
     cogrouped :func:`search` when the index exceeds the broadcast
     threshold.
 
-    ``shard_probes``: search only the p shards whose medoid is nearest
-    the query (IVF-style routing over the Vamana shards). ``None`` scans
-    every shard — the exact shard-and-merge semantics (README.md:157);
-    fewer probes trade recall for a proportional QPS gain, the knob that
-    matters when num_shards is large.
+    ``shard_probes``: search only the p nearest shards (IVF-style
+    routing over the Vamana shards). ``None`` scans every shard — the
+    exact shard-and-merge semantics (README.md:157); fewer probes trade
+    recall for a proportional QPS gain, the knob that matters when
+    num_shards is large. A shard's distance is the MIN over its routing
+    points — medoid plus the FPS-sampled entry set — not the medoid
+    alone: a single medoid misroutes queries near overlap-cell
+    boundaries (r2 measured probed4 recall 0.7586 routing on medoids;
+    the entry sets cover each shard's extent by construction).
 
     ``shards_bc``: a prebuilt broadcast of :func:`materialize_shards`
     output — pass it to amortize index materialization across calls
@@ -323,17 +407,14 @@ def broadcast_search(
                 )
             # per-query shard routing (IVF-style) or scan-all
             if shard_probes is not None and shard_probes < len(shard_list):
-                meds = np.stack([s[1][s[3]] for s in shard_list])
-                dmat = np.stack(
-                    [vamana._dist_batch(metric, q, meds) for q in qmat]
-                )  # (n_q, n_shards)
+                dmat = _shard_route_dists(metric, qmat, shard_list)
                 probe_sets = np.argsort(dmat, axis=1, kind="stable")[:, :shard_probes]
             else:
                 probe_sets = None
             cand: list[list[tuple[float, int]]] = [[] for _ in range(len(qmat))]
-            for s_idx, (gids, mat, graph, medoid_local, sqn, ent) in enumerate(
-                shard_list
-            ):
+            for s_idx, (
+                gids, mat, graph, medoid_local, sqn, ent, *rest
+            ) in enumerate(shard_list):
                 if probe_sets is None:
                     sel = np.arange(len(qmat))
                 else:
@@ -343,6 +424,7 @@ def broadcast_search(
                 results = vamana.beam_search_batch(
                     mat, graph, metric, medoid_local, qmat[sel],
                     max(k, beam_width), beam_width, sqnorms=sqn, entries=ent,
+                    quant=rest[0] if rest else None,
                 )
                 for qi, (ids, dists) in zip(sel, results):
                     cand[qi].extend(zip(dists.tolist(), gids[ids].tolist()))

@@ -129,17 +129,35 @@ class DiskANNIndex:
         m = self.meta
         elem = 8 if m.elem_type == "long" else 4
         est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
-        if mode == "broadcast" or (
+        use_broadcast = mode == "broadcast" or (
             mode == "auto" and est_bytes <= BROADCAST_INDEX_THRESHOLD
-        ):
+        )
+        if shard_probes is not None and not use_broadcast:
+            # scan/cogroup run every shard — silently ignoring the routing
+            # knob would hand back an unrouted full scan (r2 ADVICE item)
+            raise ValueError(
+                "shard_probes is only supported in broadcast mode; "
+                f"resolved mode here is {'scan' if mode == 'auto' else mode!r}"
+            )
+        if use_broadcast:
             return search_ops.broadcast_search(
                 queries, self.vectors, self.graph, self.params, k, beam_width,
                 shard_probes=shard_probes, shards_bc=self._broadcast_shards(),
             )
         if mode in ("auto", "scan"):
-            return search_ops.scan_search(
-                queries, self._get_scan_side(), self.params, k, beam_width
-            )
+            # scan mode collects the query batch driver-side; in auto mode
+            # a too-large batch falls through to the cogrouped search
+            # (which never collects) instead of OOMing the driver
+            # (r2 ADVICE medium item). Explicit scan mode raises inside
+            # scan_search with the cap in the message.
+            if (
+                mode == "scan"
+                or queries.limit(search_ops.SCAN_QUERY_COLLECT_CAP + 1).count()
+                <= search_ops.SCAN_QUERY_COLLECT_CAP
+            ):
+                return search_ops.scan_search(
+                    queries, self._get_scan_side(), self.params, k, beam_width
+                )
         if query_blocks is None:
             par = self.spark.sparkContext.defaultParallelism
             query_blocks = max(1, par // max(self.meta.num_shards, 1))

@@ -149,11 +149,28 @@ def main() -> None:
         build_s = None
         # the dir is shared across demo configs — searching a stale index
         # from a different run silently reports garbage recall (measured:
-        # 1M queries against a leftover 100k index -> recall 0.0004)
-        if idx.meta.num_vectors != N:
+        # 1M queries against a leftover 100k index -> recall 0.0004).
+        # Check every build knob recorded in metadata, not just N
+        # (r2 ADVICE: same-N index with different M/shards passed the
+        # old guard and reported numbers for the wrong config).
+        mismatches = [
+            (name, got, want)
+            for name, got, want in [
+                ("num_vectors", idx.meta.num_vectors, N),
+                ("max_degree", idx.meta.max_degree, params.max_degree),
+                ("build_beam_width", idx.meta.build_beam_width,
+                 params.build_beam_width),
+                ("num_shards", idx.meta.num_shards, params.num_shards),
+                ("metric", idx.meta.metric, params.metric),
+                ("seed", idx.meta.seed, params.seed),
+            ]
+            if got != want
+        ]
+        if mismatches:
+            detail = ", ".join(f"{n}: index={g} run={w}" for n, g, w in mismatches)
             raise SystemExit(
-                f"RDS_REUSE_IDX: index at {idx_path} holds "
-                f"{idx.meta.num_vectors} vectors, run wants {N} — rebuild"
+                f"RDS_REUSE_IDX: index at {idx_path} does not match this "
+                f"run's config ({detail}) — rebuild"
             )
     else:
         shutil.rmtree(idx_path, ignore_errors=True)
@@ -168,9 +185,13 @@ def main() -> None:
 
     # local demo host has 128 GiB: force broadcast (RAM-resident) search
     # for any index up to 4 GiB even past the conservative auto threshold
-    # — the reference's own regime is the whole SIFT1M index resident
+    # — the reference's own regime is the whole SIFT1M index resident.
+    # RDS_SEARCH_MODE overrides (e.g. =scan to exercise the resident-
+    # corpus/moving-queries steady path at >broadcast scale).
     est_bytes = N * (4 * DIM + 4 * idx.meta.max_degree)
-    search_mode = "broadcast" if est_bytes <= (4 << 30) else "auto"
+    search_mode = os.environ.get(
+        "RDS_SEARCH_MODE", "broadcast" if est_bytes <= (4 << 30) else "auto"
+    )
     idx = idx.warm(search_mode)
     t0 = time.perf_counter()
     res = idx.search_with_dists(queries, k=K, beam_width=BEAM, mode=search_mode)
@@ -211,15 +232,16 @@ def main() -> None:
         res_p.count()
         probed_s = time.perf_counter() - t0
 
-    # recall vs exact GT on a query sample, computed driver-side with one
-    # numpy matmul (the SQL-fold exact path would evaluate n_q*N pairs —
-    # fine as an oracle at fixture scale, pointless for a perf demo)
+    # recall vs exact GT on a query sample. r3: GT runs through the
+    # DISTRIBUTED exact_knn operator (broadcast queries, corpus stays
+    # put) — the r2 driver-side numpy matmul collected the whole corpus
+    # to the driver, which stops scaling past ~2M rows (5 GB+ collect at
+    # 5M); only the 500 x K GT id pairs reach the driver now.
     import numpy as np
 
+    from rust_diskann_spark.operators.exact import exact_knn
+
     n_gt = min(500, n_q)
-    base_pd = base.toPandas().sort_values("id")
-    ids = base_pd["id"].to_numpy()
-    mat = np.stack(base_pd["vec"].to_numpy()).astype(np.float64)
     # deterministic UNBIASED sample: seeded random choice over the query
     # ids. NOT a stride: the corpus assigns cluster = id % CLUSTERS, so a
     # stride with a common factor with CLUSTERS aliases onto a SUBSET of
@@ -229,21 +251,11 @@ def main() -> None:
     # (grabs whole partitions correlated with kmeans cells).
     all_q_ids = np.arange(0, N, max(1, N // Q))
     sel_ids = np.random.default_rng(7).choice(all_q_ids, size=n_gt, replace=False)
-    q_rows = queries.filter(
-        F.col("query_id").isin([int(x) for x in sel_ids])
-    ).toPandas()
-    qmat = np.stack(q_rows["qvec"].to_numpy()).astype(np.float64)
-    d2 = (
-        (qmat * qmat).sum(1)[:, None]
-        - 2.0 * (qmat @ mat.T)
-        + (mat * mat).sum(1)[None, :]
-    )
-    gt_sets = {
-        int(q_rows["query_id"].iloc[i]): set(
-            ids[np.argsort(d2[i], kind="stable")[:K]].tolist()
-        )
-        for i in range(n_gt)
-    }
+    gt_q = queries.filter(F.col("query_id").isin([int(x) for x in sel_ids]))
+    gt_rows = exact_knn(gt_q, base, K, "l2").select("query_id", "id").collect()
+    gt_sets: dict[int, set] = {}
+    for r in gt_rows:
+        gt_sets.setdefault(int(r["query_id"]), set()).add(int(r["id"]))
     def recall_of(df) -> float:
         got = (
             df.filter(F.col("query_id").isin(list(gt_sets)))

@@ -1,0 +1,70 @@
+"""Probed-shard routing (r3): shard distance = min over medoid + FPS
+entry set, so queries near overlap-cell boundaries route to every shard
+that actually holds their neighbors (r2's medoid-only routing measured
+probed4 recall 0.7586 on the 100k demo). Pure numpy — no Spark."""
+
+import numpy as np
+
+from rust_diskann_spark.core import vamana
+from rust_diskann_spark.operators.search import _shard_route_dists
+
+
+def _shard(mat, medoid_local, ent):
+    gids = np.arange(len(mat))
+    graph = None  # routing never touches the graph
+    sqn = vamana.sq_norms(mat)
+    return (gids, mat, graph, medoid_local, sqn, ent)
+
+
+def test_routing_uses_entry_points_not_just_medoid():
+    # shard 0: medoid far from origin, but an entry point AT the origin;
+    # shard 1: medoid moderately near the origin, no entries.
+    # medoid-only routing sends an origin query to shard 1; entry-aware
+    # routing must prefer shard 0.
+    m0 = np.array([[10.0, 10.0], [0.0, 0.0], [9.0, 9.0]], dtype=np.float32)
+    m1 = np.array([[3.0, 3.0], [4.0, 4.0]], dtype=np.float32)
+    s0 = _shard(m0, 0, np.array([1], dtype=np.int64))  # entry = origin
+    s1 = _shard(m1, 0, None)
+    q = np.zeros((1, 2), dtype=np.float32)
+    d = _shard_route_dists("l2", q, [s0, s1])
+    assert d.shape == (1, 2)
+    assert d[0, 0] < d[0, 1]  # entry point wins over nearer medoid
+
+
+def test_routing_matches_bruteforce_min_l2():
+    rng = np.random.default_rng(3)
+    shards = []
+    for i in range(5):
+        mat = rng.standard_normal((40, 8)).astype(np.float32) + i
+        ent = rng.choice(40, 6, replace=False).astype(np.int64)
+        shards.append(_shard(mat, int(rng.integers(40)), ent))
+    q = rng.standard_normal((20, 8)).astype(np.float32)
+    d = _shard_route_dists("l2", q, shards)
+    for si, (gids, mat, graph, med, sqn, ent) in enumerate(shards):
+        pts = mat[np.array(sorted({med, *ent.tolist()}), dtype=np.int64)]
+        for qi in range(len(q)):
+            exact = np.min(
+                np.sum((pts.astype(np.float64) - q[qi]) ** 2, axis=1)
+            )
+            assert abs(d[qi, si] - exact) < 1e-2
+
+
+def test_routing_cosine_and_hamming_shapes():
+    rng = np.random.default_rng(4)
+    shards_f = [
+        _shard(rng.standard_normal((10, 4)).astype(np.float32), 0,
+               np.array([1, 2], dtype=np.int64))
+        for _ in range(3)
+    ]
+    q = rng.standard_normal((7, 4)).astype(np.float32)
+    assert _shard_route_dists("cosine", q, shards_f).shape == (7, 3)
+    assert _shard_route_dists("dot", q, shards_f).shape == (7, 3)
+    shards_h = [
+        (np.arange(6), rng.integers(0, 2**20, (6, 2)).astype(np.int64), None,
+         0, None, np.array([1], dtype=np.int64))
+        for _ in range(2)
+    ]
+    qh = rng.integers(0, 2**20, (5, 2)).astype(np.int64)
+    dh = _shard_route_dists("hamming", qh, shards_h)
+    assert dh.shape == (5, 2)
+    assert (dh >= 0).all()

@@ -233,3 +233,81 @@ def test_batched_visited_pools_feed_the_build():
                                 kind="stable")[:3].tolist())
         assert len(exact3 & set(ids.tolist())) >= 2  # pool covers near nbrs
         assert ids.tolist() == pools2[i][0].tolist()  # deterministic
+
+
+def test_quantized_traversal_degenerate_exact_and_recall():
+    """r3 int8 traversal (QuantizedCorpus): in the degenerate regime
+    (beam >= n) the working set holds every node and the f64 finalize
+    re-scores it fully, so results are identical to the f32 kernel; in
+    the ANN regime recall must hold the same gate as f32."""
+    rng = np.random.default_rng(42)
+    mat = np.vstack(
+        [
+            rng.standard_normal((700, 16)) + 4.0,
+            rng.standard_normal((700, 16)) - 4.0,
+            rng.uniform(-8, 8, (600, 16)),
+        ]
+    ).astype(np.float32)
+    p = IndexParams(max_degree=32, build_beam_width=64)
+    g, med = vamana.build_vamana(mat, p, seed=42)
+    sqn = vamana.sq_norms(mat)
+    quant = vamana.quantize_corpus(mat)
+    assert quant.codes.dtype == np.int8
+    # degenerate: beam >= n -> bit-identical to unquantized
+    small = mat[:80]
+    gs, ms = vamana.build_vamana(small, IndexParams(max_degree=16), seed=1)
+    sq_s = vamana.sq_norms(small)
+    q_s = vamana.quantize_corpus(small)
+    for q in small[::11]:
+        i_f, d_f = vamana.beam_search(small, gs, "l2", ms, q, 10, 128, sqnorms=sq_s)
+        i_q, d_q = vamana.beam_search(
+            small, gs, "l2", ms, q, 10, 128, sqnorms=sq_s, quant=q_s
+        )
+        assert i_f.tolist() == i_q.tolist()
+        assert np.array_equal(d_f, d_q)
+    # ANN regime: recall gate unchanged
+    qs = rng.standard_normal((50, 16)).astype(np.float32) * 4.0
+    res = vamana.beam_search_batch(
+        mat, g, "l2", med, qs, 10, 128, sqnorms=sqn, quant=quant
+    )
+    rec = 0.0
+    for (ids, _), q in zip(res, qs):
+        exact = np.argsort(np.linalg.norm(mat.astype(np.float64) - q, axis=1))[:10]
+        rec += len(set(ids.tolist()) & set(exact.tolist())) / 10
+    assert rec / 50 >= 0.95
+
+
+def test_multiword_visited_blocks_bitequal():
+    """r3 multi-word bit-packed visited set: block widths crossing the
+    64-lane word boundary (B=100, 128, 200) must reproduce the B<=64
+    single-word results exactly."""
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((500, 24)).astype(np.float32)
+    p = IndexParams(max_degree=16, build_beam_width=32, num_shards=1, seed=7)
+    g, med = vamana.build_vamana(mat, p, seed=7)
+    sqn = vamana.sq_norms(mat)
+    Q = np.repeat(mat[::3], 2, axis=0)  # 334 queries
+    ref = vamana.beam_search_batch(mat, g, "l2", med, Q, 5, 32, sqnorms=sqn,
+                                   max_block=64)
+    for blk in (100, 128, 200):
+        got = vamana.beam_search_batch(
+            mat, g, "l2", med, Q, 5, 32, sqnorms=sqn, max_block=blk
+        )
+        for (ri, rd), (gi, gd) in zip(ref, got):
+            assert ri.tolist() == gi.tolist()
+            assert np.array_equal(rd, gd)
+    # and on the build/collect path (greedy_search_batch_visited)
+    seeds = np.column_stack([
+        np.full(len(Q), med, dtype=np.int64),
+        rng.integers(0, 500, len(Q)),
+    ])
+    ref_v = vamana.greedy_search_batch_visited(
+        mat, g, "l2", seeds, Q, 32, sqnorms=sqn, max_block=64
+    )
+    got_v = vamana.greedy_search_batch_visited(
+        mat, g, "l2", seeds, Q, 32, sqnorms=sqn, max_block=128
+    )
+    for (ri, rd), (gi, gd) in zip(ref_v, got_v):
+        o1, o2 = np.argsort(ri), np.argsort(gi)
+        assert ri[o1].tolist() == gi[o2].tolist()
+        assert np.allclose(rd[o1], gd[o2])
