@@ -1,0 +1,169 @@
+/* Native beam-search kernel (reference lib.rs:635-693 semantics).
+ *
+ * Single-threaded, one call per (shard, query batch); parallelism comes
+ * from Spark task / process fan-out exactly like the numpy kernel it
+ * accelerates (core/vamana.py _beam_block).  Compiled lazily by
+ * core/native.py with the system C compiler; everything here is plain
+ * C99 + libc so the build needs no third-party headers.
+ *
+ * Algorithm parity with the numpy kernel:
+ * - working set = sorted array of (dist, id, expanded), capacity `beam`,
+ *   ordered by (dist, id) ascending — the DiskANN candidate list L;
+ * - seeds: medoid + entry points, all seeded for every query;
+ * - each step expands the best unexpanded candidate, evaluates its
+ *   not-yet-visited neighbors, inserts admissible ones; terminates when
+ *   every working-set entry is expanded;
+ * - distances are SQUARED l2 in float32 (monotonic; the Python wrapper
+ *   re-scores the returned top-k in float64 against the full-precision
+ *   vectors, so final (dist, id) rankings match the numpy kernel's f64
+ *   finalization).
+ * - visited tracking uses an epoch-tagged int32 array (no per-query
+ *   clear); the caller allocates it once per batch.
+ *
+ * Difference from the numpy kernel: expansion is strictly one-at-a-time
+ * best-first (fanout=1).  The numpy kernel expands `fanout` per round to
+ * amortize Python dispatch — pure overhead-hiding, unnecessary in C.
+ * One-at-a-time is the textbook greedy; its explored set is a subset of
+ * the fanout>1 kernel's, recall is re-verified by the Python tests.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+typedef struct {
+    int64_t id;     /* offset 0, 8 B */
+    float dist;     /* offset 8, 4 B */
+    uint8_t expanded; /* offset 12; struct size 16 with padding */
+} Cand;
+
+/* insert (dist, id) into ws[0..len) keeping (dist, id) ascending order;
+ * drops the worst element if len == beam.  Returns new length. */
+static int ws_insert(Cand *ws, int len, int beam, float dist, int64_t id)
+{
+    if (len == beam && (dist > ws[len - 1].dist ||
+                        (dist == ws[len - 1].dist && id >= ws[len - 1].id)))
+        return len;
+    int lo = 0, hi = len;
+    while (lo < hi) {
+        int mid = (lo + hi) >> 1;
+        if (ws[mid].dist < dist || (ws[mid].dist == dist && ws[mid].id < id))
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    int newlen = len < beam ? len + 1 : beam;
+    memmove(ws + lo + 1, ws + lo, (size_t)(newlen - lo - 1) * sizeof(Cand));
+    ws[lo].dist = dist;
+    ws[lo].id = id;
+    ws[lo].expanded = 0;
+    return newlen;
+}
+
+static inline float l2sq(const float *a, const float *b, int64_t d)
+{
+    float acc = 0.0f;
+    for (int64_t j = 0; j < d; j++) {
+        float t = a[j] - b[j];
+        acc += t * t;
+    }
+    return acc;
+}
+
+/* int8 variant: codes are a global-scalar quantization of the vectors
+ * (core/vamana.py quantize_corpus); squared distance in code space is
+ * monotonic with real l2 up to rounding, and the Python wrapper's f64
+ * re-score fixes the final ordering (same contract as the numpy int8
+ * traversal). */
+static inline float l2sq_i8(const int8_t *a, const float *b, int64_t d)
+{
+    float acc = 0.0f;
+    for (int64_t j = 0; j < d; j++) {
+        float t = (float)a[j] - b[j];
+        acc += t * t;
+    }
+    return acc;
+}
+
+/* Batch beam search.
+ *   vectors  (n, d) float32 row-major   — corpus (f32 path; NULL if i8)
+ *   codes    (n, d) int8 row-major      — corpus (i8 path; NULL if f32)
+ *   adj      (n, cap) int32 row-major   — padded adjacency
+ *   deg      (n,) int32
+ *   seeds    (n_seeds,) int64           — medoid + entry points (dedup'd)
+ *   queries  (nq, d) float32            — f32 path: raw queries;
+ *                                         i8 path: quantized queries
+ *   out_ids  (nq, k) int64              — -1-padded results
+ *   out_dist (nq, k) float32            — squared traversal distances
+ *   visit    (n,) int32                 — caller-zeroed ONCE; epoch tags
+ *   ws       (beam+1,) Cand scratch     — caller-allocated
+ * Returns the number of queries processed (== nq).
+ */
+long long beam_search_batch_c(
+    const float *vectors, const int8_t *codes,
+    int64_t n, int64_t d,
+    const int32_t *adj, const int32_t *deg, int64_t cap,
+    const int64_t *seeds, int64_t n_seeds,
+    const float *queries, int64_t nq,
+    int64_t k, int64_t beam,
+    int64_t *out_ids, float *out_dist,
+    int32_t *visit, int32_t epoch_base,
+    void *ws_scratch)
+{
+    Cand *ws = (Cand *)ws_scratch;
+    for (int64_t q = 0; q < nq; q++) {
+        const float *qv = queries + q * d;
+        int32_t epoch = epoch_base + (int32_t)q + 1;
+        int len = 0;
+        for (int64_t s = 0; s < n_seeds; s++) {
+            int64_t id = seeds[s];
+            if (visit[id] == epoch)
+                continue;
+            visit[id] = epoch;
+            float dist = codes ? l2sq_i8(codes + id * d, qv, d)
+                               : l2sq(vectors + id * d, qv, d);
+            len = ws_insert(ws, len, (int)beam, dist, id);
+        }
+        for (;;) {
+            /* best unexpanded candidate */
+            int bi = -1;
+            for (int i = 0; i < len; i++) {
+                if (!ws[i].expanded) {
+                    bi = i;
+                    break;
+                }
+            }
+            if (bi < 0)
+                break;
+            ws[bi].expanded = 1;
+            int64_t u = ws[bi].id;
+            const int32_t *nb = adj + u * cap;
+            int32_t du = deg[u];
+            float worst = (len == beam) ? ws[beam - 1].dist : 3.4e38f;
+            int full = (len == beam);
+            for (int32_t e = 0; e < du; e++) {
+                int64_t v = nb[e];
+                if (visit[v] == epoch)
+                    continue;
+                visit[v] = epoch;
+                float dist = codes ? l2sq_i8(codes + v * d, qv, d)
+                                   : l2sq(vectors + v * d, qv, d);
+                if (full && dist >= worst)
+                    continue;
+                len = ws_insert(ws, len, (int)beam, dist, v);
+                full = (len == beam);
+                if (full)
+                    worst = ws[beam - 1].dist;
+            }
+        }
+        int64_t kk = k < len ? k : len;
+        for (int64_t i = 0; i < kk; i++) {
+            out_ids[q * k + i] = ws[i].id;
+            out_dist[q * k + i] = ws[i].dist;
+        }
+        for (int64_t i = kk; i < k; i++) {
+            out_ids[q * k + i] = -1;
+            out_dist[q * k + i] = 3.4e38f;
+        }
+    }
+    return (long long)nq;
+}

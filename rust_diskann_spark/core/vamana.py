@@ -605,6 +605,12 @@ def beam_search_batch(
     beam = max(beam_width, k)
     if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
+    if metric == "l2" and n >= NATIVE_MIN_ROWS:
+        res = _native_l2_batch(
+            vectors, graph, medoid, qmat, k, beam, sqnorms, entries, quant
+        )
+        if res is not None:
+            return res
     out: list[tuple[np.ndarray, np.ndarray]] = []
     # bound the id-major packed visited words (8 * ceil(block/64) bytes
     # per corpus id) to ~64 MB per block
@@ -617,6 +623,79 @@ def beam_search_batch(
             )
         )
     return out
+
+
+# native kernel cut-in: below this the numpy kernel is already fast and
+# keeping small shards on the one reference implementation preserves the
+# degenerate-oracle bit-exactness the contract tests rely on
+NATIVE_MIN_ROWS = 4096
+
+
+def _native_l2_batch(
+    vectors, graph, medoid, qmat, k, beam, sqnorms, entries, quant
+) -> list[tuple[np.ndarray, np.ndarray]] | None:
+    """Run the batch through the compiled C kernel (core/native.py) and
+    finalize in f64 exactly like _beam_block: the kernel returns each
+    query's full working set ordered by squared-f32 traversal distance;
+    re-scoring every surviving entry against the full-precision vectors
+    and re-sorting by (dist, id) makes the returned rankings match the
+    numpy kernel's finalization. None -> caller falls back to numpy."""
+    from rust_diskann_spark.core import native
+
+    if native.get_lib() is None:
+        return None
+    if entries is None:
+        seeds = np.array([medoid], dtype=np.int64)
+    else:
+        seeds = np.array(
+            sorted({int(medoid), *(int(e) for e in entries)}), dtype=np.int64
+        )
+    if quant is not None:
+        codes = quant.codes
+        q_in = np.clip(
+            np.rint(np.asarray(qmat, dtype=np.float64) * quant.scale),
+            -127, 127,
+        ).astype(np.float32)
+        vec_f32 = None
+    else:
+        codes = None
+        vec_f32 = (
+            vectors
+            if vectors.dtype == np.float32 and vectors.flags.c_contiguous
+            else np.ascontiguousarray(vectors, dtype=np.float32)
+        )
+        q_in = np.ascontiguousarray(qmat, dtype=np.float32)
+    out = native.native_beam_batch(
+        vec_f32, codes, graph.adj, graph.deg, seeds, q_in, beam
+    )
+    if out is None:
+        return None
+    wi, _ = out  # (nq, beam) int64, -1 padded
+    q64 = np.asarray(qmat, dtype=np.float64)
+    qq = np.einsum("ij,ij->i", q64, q64)
+    rws, cls = np.nonzero(wi >= 0)
+    ids_flat = wi[rws, cls]
+    d64 = np.sqrt(
+        np.maximum(
+            sqnorms[ids_flat]
+            - 2.0 * np.einsum("ij,ij->i", vectors[ids_flat], q64[rws])
+            + qq[rws],
+            0.0,
+        )
+    )
+    nq = len(qmat)
+    wd = np.full((nq, beam), np.inf, dtype=np.float64)
+    wid = np.full((nq, beam), _PAD_ID, dtype=np.int64)
+    wd[rws, cls] = d64
+    wid[rws, cls] = ids_flat
+    order = np.lexsort((wid, wd))
+    wd = np.take_along_axis(wd, order, axis=1)
+    wid = np.take_along_axis(wid, order, axis=1)
+    results = []
+    for i in range(nq):
+        real = wid[i] != _PAD_ID
+        results.append((wid[i][real][:k], wd[i][real][:k]))
+    return results
 
 
 _PAD_ID = np.iinfo(np.int64).max  # sorts after every real id on dist ties

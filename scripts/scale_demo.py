@@ -160,7 +160,10 @@ def main() -> None:
                 ("max_degree", idx.meta.max_degree, params.max_degree),
                 ("build_beam_width", idx.meta.build_beam_width,
                  params.build_beam_width),
-                ("num_shards", idx.meta.num_shards, params.num_shards),
+                # merged builds store ONE logical shard regardless of the
+                # cell count the build fanned out over
+                ("num_shards", idx.meta.num_shards,
+                 1 if MODE == "merged" else params.num_shards),
                 ("metric", idx.meta.metric, params.metric),
                 ("seed", idx.meta.seed, params.seed),
             ]
@@ -224,7 +227,10 @@ def main() -> None:
     # (skipped in merged mode: the merged index is one logical shard)
     probed_s = None
     res_p = None
-    if MODE != "merged":
+    if MODE != "merged" and search_mode == "broadcast":
+        # probes are a broadcast-mode knob (scan/cogroup raise on it by
+        # design — r3 guard): at >broadcast scale the scan path IS the
+        # steady architecture and probing is done by partition pruning
         t0 = time.perf_counter()
         res_p = idx.search_with_dists(
             queries, k=K, beam_width=BEAM, shard_probes=4, mode=search_mode
@@ -232,14 +238,15 @@ def main() -> None:
         res_p.count()
         probed_s = time.perf_counter() - t0
 
-    # recall vs exact GT on a query sample. r3: GT runs through the
-    # DISTRIBUTED exact_knn operator (broadcast queries, corpus stays
-    # put) — the r2 driver-side numpy matmul collected the whole corpus
-    # to the driver, which stops scaling past ~2M rows (5 GB+ collect at
-    # 5M); only the 500 x K GT id pairs reach the driver now.
+    # recall vs exact GT on a query sample. r3: GT is DISTRIBUTED — a
+    # numpy-matmul partial top-k per corpus partition (broadcast query
+    # matrix) merged by one tiny window. The r2 driver-side matmul
+    # collected the whole corpus to the driver (stops scaling past ~2M
+    # rows: 5 GB+ collect at 5M); the SQL-fold exact_knn oracle path is
+    # ~100x slower at this scale (it exists for hash-match parity, not
+    # throughput). Only n_gt x K id pairs reach the driver here.
     import numpy as np
-
-    from rust_diskann_spark.operators.exact import exact_knn
+    import pandas as pd
 
     n_gt = min(500, n_q)
     # deterministic UNBIASED sample: seeded random choice over the query
@@ -251,8 +258,46 @@ def main() -> None:
     # (grabs whole partitions correlated with kmeans cells).
     all_q_ids = np.arange(0, N, max(1, N // Q))
     sel_ids = np.random.default_rng(7).choice(all_q_ids, size=n_gt, replace=False)
-    gt_q = queries.filter(F.col("query_id").isin([int(x) for x in sel_ids]))
-    gt_rows = exact_knn(gt_q, base, K, "l2").select("query_id", "id").collect()
+    q_rows = queries.filter(
+        F.col("query_id").isin([int(x) for x in sel_ids])
+    ).collect()
+    qids_np = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qmat_np = np.array([list(r["qvec"]) for r in q_rows], dtype=np.float64)
+    bc_gt = spark.sparkContext.broadcast((qids_np, qmat_np))
+
+    def gt_partials(batches):
+        qids, qm = bc_gt.value
+        qq = (qm * qm).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            m = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            d2 = qq[:, None] - 2.0 * (qm @ m.T) + (m * m).sum(1)[None, :]
+            kk = min(K, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "id": ids[part].ravel(),
+                    "d2": np.take_along_axis(d2, part, axis=1).ravel(),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    parts = base.select("id", "vec").mapInPandas(
+        gt_partials, "query_id LONG, id LONG, d2 DOUBLE"
+    )
+    w_gt = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("id").asc()
+    )
+    gt_rows = (
+        parts.withColumn("r", F.row_number().over(w_gt))
+        .filter(F.col("r") <= K)
+        .select("query_id", "id")
+        .collect()
+    )
     gt_sets: dict[int, set] = {}
     for r in gt_rows:
         gt_sets.setdefault(int(r["query_id"]), set()).add(int(r["id"]))

@@ -311,3 +311,66 @@ def test_multiword_visited_blocks_bitequal():
         o1, o2 = np.argsort(ri), np.argsort(gi)
         assert ri[o1].tolist() == gi[o2].tolist()
         assert np.allclose(rd[o1], gd[o2])
+
+
+def test_native_kernel_matches_numpy_recall_and_topk():
+    """r3 native C kernel (core/native.py): on a corpus past
+    NATIVE_MIN_ROWS, beam_search_batch auto-routes to the compiled
+    kernel; its f64-finalized top-k must agree with the numpy kernel on
+    overwhelming majority of queries (both are the same greedy algorithm;
+    admissible orderings differ only at f32 ties / fanout exploration),
+    and recall vs brute force must hold the same gate. Skips when no C
+    compiler is available (the numpy path is then the production path)."""
+    import os
+
+    from rust_diskann_spark.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler on host")
+    rng = np.random.default_rng(11)
+    n = max(vamana.NATIVE_MIN_ROWS, 4096)
+    mat = np.vstack(
+        [
+            rng.standard_normal((n // 2, 16)) + 3.0,
+            rng.standard_normal((n - n // 2, 16)) - 3.0,
+        ]
+    ).astype(np.float32)
+    p = IndexParams(max_degree=24, build_beam_width=48)
+    g, med = vamana.build_vamana(mat, p, seed=3)
+    sqn = vamana.sq_norms(mat)
+    qs = mat[::37]
+    res_native = vamana.beam_search_batch(mat, g, "l2", med, qs, 10, 64, sqnorms=sqn)
+    os.environ["RDS_NO_NATIVE"] = "1"
+    native._tried, native._lib = False, None
+    try:
+        res_numpy = vamana.beam_search_batch(
+            mat, g, "l2", med, qs, 10, 64, sqnorms=sqn
+        )
+    finally:
+        del os.environ["RDS_NO_NATIVE"]
+        native._tried, native._lib = False, None
+    agree = rec_nat = rec_np = 0.0
+    for (ni, nd), (pi, pd_), q in zip(res_native, res_numpy, qs):
+        exact = np.argsort(
+            np.linalg.norm(mat.astype(np.float64) - q, axis=1), kind="stable"
+        )[:10]
+        rec_nat += len(set(ni.tolist()) & set(exact.tolist())) / 10
+        rec_np += len(set(pi.tolist()) & set(exact.tolist())) / 10
+        agree += ni.tolist() == pi.tolist()
+    nq = len(qs)
+    assert rec_nat / nq >= 0.95
+    assert rec_nat / nq >= rec_np / nq - 0.02
+    assert agree / nq >= 0.9  # same graph, same greedy: near-total agreement
+
+    # quantized traversal through the native path too
+    quant = vamana.quantize_corpus(mat)
+    res_q = vamana.beam_search_batch(
+        mat, g, "l2", med, qs, 10, 64, sqnorms=sqn, quant=quant
+    )
+    rec_q = 0.0
+    for (qi_, qd), q in zip(res_q, qs):
+        exact = np.argsort(
+            np.linalg.norm(mat.astype(np.float64) - q, axis=1), kind="stable"
+        )[:10]
+        rec_q += len(set(qi_.tolist()) & set(exact.tolist())) / 10
+    assert rec_q / nq >= 0.95
