@@ -118,7 +118,15 @@ def main() -> None:
     # the corpus's neighborhood structure (one per natural cluster here)
     # — each cell is one coherent build task, search cost is
     # cell-count-independent (one merged graph).
-    n_shards = CLUSTERS if MODE == "merged" else max(2, int(CPUS) // 2)
+    # RDS_NUM_SHARDS override: locally one shard = one task, so shard row
+    # count IS the build-parallelism knob (a 5M corpus on 16 shards makes
+    # 312k-row single-task builds — measured as multi-hour stragglers;
+    # 64+ shards keep tasks in the minutes). At cluster scale the same
+    # knob tracks executor memory (5-20M rows/shard, build.py:15-21).
+    n_shards = int(os.environ.get(
+        "RDS_NUM_SHARDS",
+        CLUSTERS if MODE == "merged" else max(2, int(CPUS) // 2),
+    ))
     # build params scale with corpus density like search beam does: the
     # reference's SIFT1M config is M=64, L=128 (README.md:219-220); at 1M
     # our L=64 build plateaued at recall 0.975 even at search beam 256
@@ -135,7 +143,10 @@ def main() -> None:
         shard_by="kmeans" if CORPUS == "clustered" else "hash",
         merge_shards=(MODE == "merged"),
     )
-    idx_path = os.path.join(tempfile.gettempdir(), "rds_scale_idx")
+    # keyed by (N, mode): two demo configs running in the same tmpdir must
+    # not clobber each other's index (observed: a 5M build rmtree'd the
+    # 1M index mid-session and forced a rebuild)
+    idx_path = os.path.join(tempfile.gettempdir(), f"rds_scale_idx_{N}_{MODE}")
     # RDS_REUSE_IDX=1: reopen an existing index dir instead of rebuilding —
     # for sweeping search-side knobs (beam width) without paying the build
     # again. build_sec is reported as null in that case.
