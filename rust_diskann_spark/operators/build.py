@@ -53,8 +53,12 @@ def assign_shards(
     ``hash``: dense-id modulo — uniform shards, every shard samples the
     whole space (the README.md:157 equivalence regime).
     ``kmeans``: locality shards via seeded k-means cells (operators/ivf)
-    — uneven but spatially coherent, enabling medoid-routed probing at
-    search (``shard_probes``).
+    — uneven but spatially coherent, enabling entry-routed probing at
+    search (``shard_probes``). Oversized cells are hash-split via
+    :func:`_cap_split_cells` (r3: the straggler backstop the merged path
+    already had), so the returned shard ids are dense 0..n_units-1 and
+    n_units may EXCEED ``num_shards`` — callers recording shard counts
+    must count the output (build_index does), not trust the request.
     """
     if shard_by == "hash":
         return vectors.withColumn(
@@ -76,15 +80,16 @@ def assign_shards(
             d = numpy_distance_matrix(metric, mat, cents)
             yield pd.DataFrame(
                 {
-                    "shard": d.argmin(axis=1).astype(np.int32),
+                    "cell": d.argmin(axis=1).astype(np.int32),
                     "id": pdf["id"],
                     "vec": pdf["vec"],
                 }
             )
 
-    return vectors.select("id", "vec").mapInPandas(
-        assign_fn, f"shard INT, id BIGINT, vec {vec_type}"
+    assigned = vectors.select("id", "vec").mapInPandas(
+        assign_fn, f"cell INT, id BIGINT, vec {vec_type}"
     )
+    return _cap_split_cells(assigned, num_shards, seed)
 
 
 def assign_shards_overlapped(
@@ -162,6 +167,20 @@ def assign_shards_overlapped(
     assigned = vectors.select("id", "vec").mapInPandas(
         assign_cells, f"cell INT, id BIGINT, vec {vec_type}"
     )
+    return _cap_split_cells(assigned, n_cells, seed)
+
+
+def _cap_split_cells(
+    assigned: DataFrame, n_cells: int, seed: int
+) -> DataFrame:
+    """(cell, id, vec) -> (shard, id, vec) with every oversized k-means
+    cell hash-split into subcells and units densely renumbered
+    0..n_units-1 (all non-empty). k-means cells on clustered data are
+    wildly uneven (a 2-iter Lloyd left ONE cell with 77% of all points;
+    the r3 5M sharded demo left 2 of 96 cells running 3+ HOURS single-
+    task while 94 finished in 75 min), and locally one cell = one build
+    task, so the cap bounds the slowest task. Shared by the overlapped
+    (merged) and plain kmeans sharding paths."""
     # cell histogram (map-side combined; n_cells scalars to the driver)
     sizes = {int(r["cell"]): int(r["cnt"]) for r in (
         assigned.groupBy("cell").agg(F.count("*").alias("cnt")).collect()

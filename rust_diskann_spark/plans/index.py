@@ -295,6 +295,14 @@ def build_index(
         sharded = build_ops.assign_shards(
             base, params.num_shards, params.shard_by, params.metric, params.seed
         )
+        if params.shard_by == "kmeans":
+            # the straggler cap-split may have produced MORE units than
+            # requested (dense 0..n_units-1); metadata must record the
+            # actual count or the cogrouped search's synthesized shard
+            # range would silently skip the extras
+            num_shards_eff = (
+                int(sharded.agg(F.max("shard")).collect()[0][0] or 0) + 1
+            )
         graph = build_ops.build_graph(sharded, params)
 
     index_store.write_index_tables(path, sharded, graph)

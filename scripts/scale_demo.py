@@ -172,9 +172,14 @@ def main() -> None:
                 ("build_beam_width", idx.meta.build_beam_width,
                  params.build_beam_width),
                 # merged builds store ONE logical shard regardless of the
-                # cell count the build fanned out over
+                # cell count the build fanned out over; sharded kmeans
+                # builds may store MORE than requested (cap-split) — the
+                # guard then checks the count is at least the request
                 ("num_shards", idx.meta.num_shards,
-                 1 if MODE == "merged" else params.num_shards),
+                 1 if MODE == "merged"
+                 else max(idx.meta.num_shards, params.num_shards)
+                 if params.shard_by == "kmeans"
+                 else params.num_shards),
                 ("metric", idx.meta.metric, params.metric),
                 ("seed", idx.meta.seed, params.seed),
             ]

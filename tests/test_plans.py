@@ -175,3 +175,55 @@ def test_scan_mode_matches_broadcast_mode(spark, sf_dir):
     plan = res_s._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan  # reads the persisted scan side
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_kmeans_shard_cap_split_bounds_stragglers(spark):
+    """r3: plain kmeans sharding hash-splits oversized cells
+    (_cap_split_cells — previously only the merged path had it; the 5M
+    sharded demo measured 2 of 96 cells running 3+ hours single-task).
+    A 90%-skewed corpus must come back with dense shard ids, every shard
+    under the 2x-target cap, and a correct end-to-end search."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from rust_diskann_spark import IndexParams, build_index, open_index
+    from rust_diskann_spark.operators.build import assign_shards
+
+    n, dim = 4000, 8
+    rng = np.random.default_rng(5)
+    mat = np.vstack([
+        rng.standard_normal((int(n * 0.9), dim)) * 0.3,          # one fat cluster
+        rng.standard_normal((n - int(n * 0.9), dim)) * 0.3 + 8.0,
+    ]).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "id LONG, vec ARRAY<FLOAT>",
+    )
+    n_req = 8
+    sharded = assign_shards(df, n_req, "kmeans", "l2", seed=42)
+    sizes = {
+        int(r["shard"]): int(r["cnt"])
+        for r in sharded.groupBy("shard").agg(F.count("*").alias("cnt")).collect()
+    }
+    cap = 2 * -(-n // n_req)
+    assert sorted(sizes) == list(range(len(sizes)))  # dense ids
+    assert max(sizes.values()) <= cap  # no straggler-sized shard
+    assert len(sizes) >= n_req  # the fat cell split into extra units
+
+    # end-to-end: metadata records the EFFECTIVE count and search is sound
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="rds_capsplit_")
+    idx = build_index(
+        df, path,
+        IndexParams(max_degree=8, build_beam_width=16, num_shards=n_req,
+                    shard_by="kmeans", seed=42),
+    )
+    assert idx.meta.num_shards == len(sizes)
+    q = df.filter(F.col("id") % 400 == 0).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    res = open_index(spark, path).search_with_dists(q, k=1, beam_width=16)
+    rows = {int(r["query_id"]): int(r["id"]) for r in res.collect()}
+    hits = sum(1 for qid, got in rows.items() if got == qid)
+    assert hits >= 0.9 * q.count()  # self-hit through the split shards
