@@ -122,9 +122,17 @@ class QuantizedCorpus:
     codes: np.ndarray  # (n, d) int8
     scale: float  # real -> code multiplier (global)
     sqn_q: np.ndarray  # (n,) float32, squared norms of codes
+    # True: codes quantize the L2-NORMALIZED rows. On unit vectors,
+    # squared l2 = 2 - 2*cos_sim is monotonic with cosine distance, so
+    # the l2 kernels (numpy and native) serve cosine traversal unchanged
+    # and the f64 finalize re-scores true cosine. Queries must be
+    # normalized before quantizing with the same scale.
+    normalized: bool = False
 
 
-def quantize_corpus(vectors: np.ndarray) -> QuantizedCorpus:
+def quantize_corpus(
+    vectors: np.ndarray, normalize: bool = False
+) -> QuantizedCorpus:
     """Build the int8 traversal view of a shard (see QuantizedCorpus).
     SIFT-style u8-valued corpora (integers in [0, 255]) quantize
     losslessly; float corpora get step = amax/127 rounding noise, far
@@ -135,13 +143,17 @@ def quantize_corpus(vectors: np.ndarray) -> QuantizedCorpus:
     ADSampling-style — measured 261 vs 325 q/s single-proc at 1M: the
     bound prunes only candidates >=4x past the threshold, too few to pay
     for the extra partial gather+einsum pass.)"""
-    amax = float(np.abs(vectors).max())
+    v = np.asarray(vectors, dtype=np.float32)
+    if normalize:
+        norms = np.sqrt(np.einsum("ij,ij->i", v, v))
+        v = v / np.where(norms > 0, norms, 1.0)[:, None]
+    amax = float(np.abs(v).max())
     scale = 127.0 / amax if amax > 0 else 1.0
-    codes = np.clip(np.rint(vectors.astype(np.float32) * scale), -127, 127).astype(
-        np.int8
-    )
+    codes = np.clip(np.rint(v * scale), -127, 127).astype(np.int8)
     sqn_q = np.einsum("ij,ij->i", codes, codes, dtype=np.int32).astype(np.float32)
-    return QuantizedCorpus(codes=codes, scale=scale, sqn_q=sqn_q)
+    return QuantizedCorpus(
+        codes=codes, scale=scale, sqn_q=sqn_q, normalized=normalize
+    )
 
 
 def _make_dist_ids(
@@ -605,9 +617,13 @@ def beam_search_batch(
     beam = max(beam_width, k)
     if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
-    if metric == "l2" and n >= NATIVE_MIN_ROWS:
+    if n >= NATIVE_MIN_ROWS and (
+        metric == "l2"
+        or (metric == "cosine" and quant is not None and quant.normalized)
+    ):
         res = _native_l2_batch(
-            vectors, graph, medoid, qmat, k, beam, sqnorms, entries, quant
+            vectors, graph, medoid, qmat, k, beam, sqnorms, entries, quant,
+            metric,
         )
         if res is not None:
             return res
@@ -632,14 +648,19 @@ NATIVE_MIN_ROWS = 4096
 
 
 def _native_l2_batch(
-    vectors, graph, medoid, qmat, k, beam, sqnorms, entries, quant
+    vectors, graph, medoid, qmat, k, beam, sqnorms, entries, quant,
+    metric="l2",
 ) -> list[tuple[np.ndarray, np.ndarray]] | None:
     """Run the batch through the compiled C kernel (core/native.py) and
     finalize in f64 exactly like _beam_block: the kernel returns each
     query's full working set ordered by squared-f32 traversal distance;
     re-scoring every surviving entry against the full-precision vectors
     and re-sorting by (dist, id) makes the returned rankings match the
-    numpy kernel's finalization. None -> caller falls back to numpy."""
+    numpy kernel's finalization. None -> caller falls back to numpy.
+
+    ``metric="cosine"`` requires a NORMALIZED QuantizedCorpus: on unit
+    vectors squared l2 is monotonic with cosine distance, so the same C
+    kernel traverses and the finalize re-scores true f64 cosine."""
     from rust_diskann_spark.core import native
 
     if native.get_lib() is None:
@@ -650,7 +671,17 @@ def _native_l2_batch(
         seeds = np.array(
             sorted({int(medoid), *(int(e) for e in entries)}), dtype=np.int64
         )
-    if quant is not None:
+    if metric == "cosine":
+        # normalized-code traversal (quant.normalized asserted by caller)
+        codes = quant.codes
+        q64n = np.asarray(qmat, dtype=np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", q64n, q64n))
+        q_unit = q64n / np.where(qn > 0, qn, 1.0)[:, None]
+        q_in = np.clip(np.rint(q_unit * quant.scale), -127, 127).astype(
+            np.float32
+        )
+        vec_f32 = None
+    elif quant is not None and not quant.normalized:
         codes = quant.codes
         q_in = np.clip(
             np.rint(np.asarray(qmat, dtype=np.float64) * quant.scale),
@@ -675,14 +706,23 @@ def _native_l2_batch(
     qq = np.einsum("ij,ij->i", q64, q64)
     rws, cls = np.nonzero(wi >= 0)
     ids_flat = wi[rws, cls]
-    d64 = np.sqrt(
-        np.maximum(
-            sqnorms[ids_flat]
-            - 2.0 * np.einsum("ij,ij->i", vectors[ids_flat], q64[rws])
-            + qq[rws],
-            0.0,
+    if metric == "cosine":
+        rows64 = vectors[ids_flat].astype(np.float64)
+        num = np.einsum("ij,ij->i", rows64, q64[rws])
+        denom = np.sqrt(
+            np.einsum("ij,ij->i", rows64, rows64) * qq[rws]
         )
-    )
+        safe = np.where(denom > 0, denom, 1.0)
+        d64 = 1.0 - np.where(denom > 0, num / safe, 0.0)
+    else:
+        d64 = np.sqrt(
+            np.maximum(
+                sqnorms[ids_flat]
+                - 2.0 * np.einsum("ij,ij->i", vectors[ids_flat], q64[rws])
+                + qq[rws],
+                0.0,
+            )
+        )
     nq = len(qmat)
     wd = np.full((nq, beam), np.inf, dtype=np.float64)
     wid = np.full((nq, beam), _PAD_ID, dtype=np.int64)
@@ -774,7 +814,9 @@ def _beam_block(vectors, graph, metric, medoid, qblock, k, beam, sqnorms,
     # (monotonic with real l2 — no sqrt needed mid-search) over int8
     # gathers; blocked on the collect path because the build prunes on
     # the traversal distances themselves.
-    use_quant = use_norm and quant is not None and not collect
+    use_quant = (
+        use_norm and quant is not None and not quant.normalized and not collect
+    )
     if use_norm:
         qq = np.einsum("ij,ij->i", q64, q64)
         # f32 traversal: the candidate-eval einsum is the kernel's dominant

@@ -50,8 +50,14 @@ QUANTIZE_MIN_ROWS = 4096
 
 
 def _maybe_quant(metric: str, mat: np.ndarray):
-    if metric == "l2" and mat.shape[0] >= QUANTIZE_MIN_ROWS:
+    if mat.shape[0] < QUANTIZE_MIN_ROWS:
+        return None
+    if metric == "l2":
         return vamana.quantize_corpus(mat)
+    if metric == "cosine":
+        # normalized codes: squared l2 on unit vectors is monotonic with
+        # cosine distance, so cosine rides the same (native) l2 kernels
+        return vamana.quantize_corpus(mat, normalize=True)
     return None
 
 

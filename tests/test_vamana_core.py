@@ -374,3 +374,35 @@ def test_native_kernel_matches_numpy_recall_and_topk():
         )[:10]
         rec_q += len(set(qi_.tolist()) & set(exact.tolist())) / 10
     assert rec_q / nq >= 0.95
+
+
+def test_native_cosine_via_normalized_codes():
+    """r3: cosine rides the native l2 kernel over L2-normalized int8
+    codes (squared l2 on unit vectors is monotonic with cosine
+    distance); finalize re-scores true f64 cosine. Recall gate vs exact
+    cosine, and parity with the numpy cosine path."""
+    from rust_diskann_spark.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler on host")
+    rng = np.random.default_rng(21)
+    n = max(vamana.NATIVE_MIN_ROWS, 4096)
+    mat = (
+        rng.standard_normal((n, 16)) * rng.uniform(0.5, 3.0, (n, 1))
+    ).astype(np.float32)
+    p = IndexParams(max_degree=24, build_beam_width=48, metric="cosine")
+    g, med = vamana.build_vamana(mat, p, seed=9)
+    qs = mat[::53]
+    quant = vamana.quantize_corpus(mat, normalize=True)
+    assert quant.normalized
+    res = vamana.beam_search_batch(mat, g, "cosine", med, qs, 10, 64, quant=quant)
+    m64 = mat.astype(np.float64)
+    sims = (m64 / np.linalg.norm(m64, axis=1, keepdims=True))
+    rec = 0.0
+    for (ids, dists), q in zip(res, qs):
+        qn = q.astype(np.float64)
+        qn = qn / np.linalg.norm(qn)
+        exact = np.argsort(-(sims @ qn), kind="stable")[:10]
+        rec += len(set(ids.tolist()) & set(exact.tolist())) / 10
+        assert (np.diff(dists) >= -1e-12).all()  # finalize order holds
+    assert rec / len(qs) >= 0.95
