@@ -84,8 +84,22 @@ static inline float l2sq_i8(const int8_t *a, const float *b, int64_t d)
     return acc;
 }
 
+/* hamming variant (reference lib.rs:22-29 u64 vectors): rows are d
+ * 64-bit words; distance = total popcount of the XOR. Max distance
+ * 64*d << 2^24, so the float result is exact — no re-score needed. */
+static inline float hamming_u64(const uint64_t *a, const uint64_t *b,
+                                int64_t d)
+{
+    uint64_t acc = 0;
+    for (int64_t j = 0; j < d; j++)
+        acc += (uint64_t)__builtin_popcountll(a[j] ^ b[j]);
+    return (float)acc;
+}
+
 /* Batch beam search.
- *   vectors  (n, d) float32 row-major   — corpus (f32 path; NULL if i8)
+ *   vectors  (n, d) float32 row-major   — corpus (f32 path; NULL if i8).
+ *            With hamming != 0, reinterpreted as (n, d) uint64 rows and
+ *            `queries` likewise — d is then the WORD count per row.
  *   codes    (n, d) int8 row-major      — corpus (i8 path; NULL if f32)
  *   adj      (n, cap) int32 row-major   — padded adjacency
  *   deg      (n,) int32
@@ -107,11 +121,14 @@ long long beam_search_batch_c(
     int64_t k, int64_t beam,
     int64_t *out_ids, float *out_dist,
     int32_t *visit, int32_t epoch_base,
-    void *ws_scratch)
+    void *ws_scratch, int32_t hamming)
 {
     Cand *ws = (Cand *)ws_scratch;
+    const uint64_t *hvecs = (const uint64_t *)vectors;
+    const uint64_t *hqueries = (const uint64_t *)queries;
     for (int64_t q = 0; q < nq; q++) {
         const float *qv = queries + q * d;
+        const uint64_t *qh = hqueries + q * d;
         int32_t epoch = epoch_base + (int32_t)q + 1;
         int len = 0;
         for (int64_t s = 0; s < n_seeds; s++) {
@@ -119,7 +136,8 @@ long long beam_search_batch_c(
             if (visit[id] == epoch)
                 continue;
             visit[id] = epoch;
-            float dist = codes ? l2sq_i8(codes + id * d, qv, d)
+            float dist = hamming ? hamming_u64(hvecs + id * d, qh, d)
+                       : codes ? l2sq_i8(codes + id * d, qv, d)
                                : l2sq(vectors + id * d, qv, d);
             len = ws_insert(ws, len, (int)beam, dist, id);
         }
@@ -145,7 +163,8 @@ long long beam_search_batch_c(
                 if (visit[v] == epoch)
                     continue;
                 visit[v] = epoch;
-                float dist = codes ? l2sq_i8(codes + v * d, qv, d)
+                float dist = hamming ? hamming_u64(hvecs + v * d, qh, d)
+                           : codes ? l2sq_i8(codes + v * d, qv, d)
                                    : l2sq(vectors + v * d, qv, d);
                 if (full && dist >= worst)
                     continue;

@@ -101,6 +101,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p,  # out_ids, out_dist
         ctypes.c_void_p, ctypes.c_int32,  # visit, epoch_base
         ctypes.c_void_p,  # ws scratch
+        ctypes.c_int32,  # hamming flag
     ]
     _lib = lib
     return _lib
@@ -118,12 +119,14 @@ def native_beam_batch(
     seeds: np.ndarray,
     queries_f32: np.ndarray,
     beam: int,
+    hamming: bool = False,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Run the native kernel over a query batch; returns (ids, dists)
     of shape (nq, beam) — the FULL working set per query, -1-padded,
     ordered by traversal (squared f32) distance. The caller finalizes in
-    f64 exactly like the numpy kernel. None if the lib is unavailable.
-    """
+    f64 exactly like the numpy kernel (hamming distances are exact
+    integers already). With ``hamming``, vectors/queries are int64
+    word-packed rows. None if the lib is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -133,7 +136,9 @@ def native_beam_batch(
     adj = np.ascontiguousarray(adj, dtype=np.int32)
     deg = np.ascontiguousarray(deg, dtype=np.int32)
     seeds = np.ascontiguousarray(seeds, dtype=np.int64)
-    q = np.ascontiguousarray(queries_f32, dtype=np.float32)
+    q = np.ascontiguousarray(
+        queries_f32, dtype=np.int64 if hamming else np.float32
+    )
     out_ids = np.empty((nq, beam), dtype=np.int64)
     out_dist = np.empty((nq, beam), dtype=np.float32)
     visit = np.zeros(n, dtype=np.int32)
@@ -153,7 +158,7 @@ def native_beam_batch(
             _ptr(out_ids[done:done + chunk]),
             _ptr(out_dist[done:done + chunk]),
             _ptr(visit), 0,
-            _ptr(ws),
+            _ptr(ws), 1 if hamming else 0,
         )
         done += chunk
         if done < nq:

@@ -618,7 +618,7 @@ def beam_search_batch(
     if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
     if n >= NATIVE_MIN_ROWS and (
-        metric == "l2"
+        metric in ("l2", "hamming")
         or (metric == "cosine" and quant is not None and quant.normalized)
     ):
         res = _native_l2_batch(
@@ -671,7 +671,12 @@ def _native_l2_batch(
         seeds = np.array(
             sorted({int(medoid), *(int(e) for e in entries)}), dtype=np.int64
         )
-    if metric == "cosine":
+    if metric == "hamming":
+        # word-packed uint64 rows; popcount distances are exact integers
+        codes = None
+        vec_f32 = np.ascontiguousarray(vectors, dtype=np.int64)
+        q_in = np.ascontiguousarray(qmat, dtype=np.int64)
+    elif metric == "cosine":
         # normalized-code traversal (quant.normalized asserted by caller)
         codes = quant.codes
         q64n = np.asarray(qmat, dtype=np.float64)
@@ -697,10 +702,22 @@ def _native_l2_batch(
         )
         q_in = np.ascontiguousarray(qmat, dtype=np.float32)
     out = native.native_beam_batch(
-        vec_f32, codes, graph.adj, graph.deg, seeds, q_in, beam
+        vec_f32, codes, graph.adj, graph.deg, seeds, q_in, beam,
+        hamming=(metric == "hamming"),
     )
     if out is None:
         return None
+    if metric == "hamming":
+        # kernel distances are exact integers and the working set is
+        # already (dist, id)-sorted — no re-score pass needed
+        wi_h, wd_h = out
+        results = []
+        for i in range(len(qmat)):
+            real = wi_h[i] >= 0
+            results.append(
+                (wi_h[i][real][:k], wd_h[i][real][:k].astype(np.float64))
+            )
+        return results
     wi, _ = out  # (nq, beam) int64, -1 padded
     q64 = np.asarray(qmat, dtype=np.float64)
     qq = np.einsum("ij,ij->i", q64, q64)

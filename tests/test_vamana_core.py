@@ -406,3 +406,40 @@ def test_native_cosine_via_normalized_codes():
         rec += len(set(ids.tolist()) & set(exact.tolist())) / 10
         assert (np.diff(dists) >= -1e-12).all()  # finalize order holds
     assert rec / len(qs) >= 0.95
+
+
+def test_native_hamming_popcount_path():
+    """r3: hamming rides the native kernel via XOR+popcount on the
+    word-packed int64 rows (reference lib.rs:22-29 u64 vectors);
+    distances are exact integers so results need no re-score. Gate:
+    recall vs brute-force popcount, and sorted-output invariant."""
+    from rust_diskann_spark.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler on host")
+    rng = np.random.default_rng(31)
+    n = max(vamana.NATIVE_MIN_ROWS, 4096)
+    # planted structure: groups of 8 share a random base pattern with ~3
+    # flipped bits per member (within-group dist <= 12, cross-group ~64
+    # — fully random words would concentrate distances and cap recall on
+    # ANY graph index, which is not what this test measures)
+    base_words = rng.integers(0, 2**62, size=(n // 8, 2), dtype=np.int64)
+    mat = np.repeat(base_words, 8, axis=0)[:n]
+    flips = rng.integers(0, 124, size=(n, 3))
+    for i in range(n):
+        for b in flips[i]:
+            mat[i, b // 62] ^= np.int64(1) << np.int64(b % 62)
+    p = IndexParams(max_degree=16, build_beam_width=32, metric="hamming")
+    g, med = vamana.build_vamana(mat, p, seed=13)
+    qs = mat[::97]
+    res = vamana.beam_search_batch(mat, g, "hamming", med, qs, 10, 64)
+    lut = vamana._POPCOUNT_LUT
+    rec = 0.0
+    for (ids, dists), q in zip(res, qs):
+        x = np.bitwise_xor(mat.astype(np.uint64), q.astype(np.uint64))
+        d_all = lut[x.view(np.uint8)].reshape(n, -1).sum(axis=1)
+        exact = np.lexsort((np.arange(n), d_all))[:10]
+        rec += len(set(ids.tolist()) & set(exact.tolist())) / 10
+        assert (np.diff(dists) >= 0).all()
+        assert all(float(dd) == float(int(dd)) for dd in dists)  # integers
+    assert rec / len(qs) >= 0.9
