@@ -96,6 +96,126 @@ static inline float hamming_u64(const uint64_t *a, const uint64_t *b,
     return (float)acc;
 }
 
+/* ------------------------------------------------------------------ */
+/* Build-path collect search (reference lib.rs:1140-1198): the greedy
+ * search that feeds robust_prune.  Same traversal as the query kernel,
+ * but with per-query seed sets and the output being the pool_cap
+ * NEAREST visited candidates (the numpy path collects everything and
+ * then argpartitions to BUILD_POOL_CAP — a bounded max-heap gives the
+ * same set without unbounded output).  l2 only; distances returned
+ * SQUARED (wrapper takes the sqrt). */
+
+typedef struct {
+    int64_t id;
+    float dist;
+} PoolEnt;
+
+static void pool_push(PoolEnt *h, int *len, int cap, float dist, int64_t id)
+{
+    if (*len < cap) {
+        int i = (*len)++;
+        h[i].dist = dist;
+        h[i].id = id;
+        while (i > 0) {
+            int p = (i - 1) >> 1;
+            if (h[p].dist >= h[i].dist) /* max-heap on dist */
+                break;
+            PoolEnt t = h[p];
+            h[p] = h[i];
+            h[i] = t;
+            i = p;
+        }
+        return;
+    }
+    if (dist >= h[0].dist)
+        return;
+    h[0].dist = dist;
+    h[0].id = id;
+    int i = 0;
+    for (;;) {
+        int l = 2 * i + 1, r = l + 1, m = i;
+        if (l < cap && h[l].dist > h[m].dist)
+            m = l;
+        if (r < cap && h[r].dist > h[m].dist)
+            m = r;
+        if (m == i)
+            break;
+        PoolEnt t = h[m];
+        h[m] = h[i];
+        h[i] = t;
+        i = m;
+    }
+}
+
+long long build_collect_batch_c(
+    const float *vectors,
+    int64_t n, int64_t d,
+    const int32_t *adj, const int32_t *deg, int64_t cap,
+    const int64_t *seeds, int64_t S,  /* (nq, S) per-query seed rows */
+    const float *queries, int64_t nq,
+    int64_t beam, int64_t pool_cap,
+    int64_t *out_ids, float *out_dist, /* (nq, pool_cap), -1 padded */
+    int32_t *visit, int32_t epoch_base,
+    void *ws_scratch, void *pool_scratch)
+{
+    Cand *ws = (Cand *)ws_scratch;
+    PoolEnt *pool = (PoolEnt *)pool_scratch;
+    for (int64_t q = 0; q < nq; q++) {
+        const float *qv = queries + q * d;
+        int32_t epoch = epoch_base + (int32_t)q + 1;
+        int len = 0, plen = 0;
+        for (int64_t s = 0; s < S; s++) {
+            int64_t id = seeds[q * S + s];
+            if (visit[id] == epoch)
+                continue;
+            visit[id] = epoch;
+            float dist = l2sq(vectors + id * d, qv, d);
+            pool_push(pool, &plen, (int)pool_cap, dist, id);
+            len = ws_insert(ws, len, (int)beam, dist, id);
+        }
+        for (;;) {
+            int bi = -1;
+            for (int i = 0; i < len; i++) {
+                if (!ws[i].expanded) {
+                    bi = i;
+                    break;
+                }
+            }
+            if (bi < 0)
+                break;
+            ws[bi].expanded = 1;
+            int64_t u = ws[bi].id;
+            const int32_t *nb = adj + u * cap;
+            int32_t du = deg[u];
+            float worst = (len == beam) ? ws[beam - 1].dist : 3.4e38f;
+            int full = (len == beam);
+            for (int32_t e = 0; e < du; e++) {
+                int64_t v = nb[e];
+                if (visit[v] == epoch)
+                    continue;
+                visit[v] = epoch;
+                float dist = l2sq(vectors + v * d, qv, d);
+                pool_push(pool, &plen, (int)pool_cap, dist, v);
+                if (full && dist >= worst)
+                    continue;
+                len = ws_insert(ws, len, (int)beam, dist, v);
+                full = (len == beam);
+                if (full)
+                    worst = ws[beam - 1].dist;
+            }
+        }
+        for (int i = 0; i < plen; i++) {
+            out_ids[q * pool_cap + i] = pool[i].id;
+            out_dist[q * pool_cap + i] = pool[i].dist;
+        }
+        for (int64_t i = plen; i < pool_cap; i++) {
+            out_ids[q * pool_cap + i] = -1;
+            out_dist[q * pool_cap + i] = 3.4e38f;
+        }
+    }
+    return (long long)nq;
+}
+
 /* Batch beam search.
  *   vectors  (n, d) float32 row-major   — corpus (f32 path; NULL if i8).
  *            With hamming != 0, reinterpreted as (n, d) uint64 rows and

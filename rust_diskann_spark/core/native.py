@@ -88,6 +88,19 @@ def get_lib():
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    g = lib.build_collect_batch_c
+    g.restype = ctypes.c_longlong
+    g.argtypes = [
+        ctypes.c_void_p,  # vectors f32
+        ctypes.c_int64, ctypes.c_int64,  # n, d
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,  # adj, deg, cap
+        ctypes.c_void_p, ctypes.c_int64,  # seeds (nq,S), S
+        ctypes.c_void_p, ctypes.c_int64,  # queries, nq
+        ctypes.c_int64, ctypes.c_int64,  # beam, pool_cap
+        ctypes.c_void_p, ctypes.c_void_p,  # out_ids, out_dist
+        ctypes.c_void_p, ctypes.c_int32,  # visit, epoch_base
+        ctypes.c_void_p, ctypes.c_void_p,  # ws scratch, pool scratch
+    ]
     f = lib.beam_search_batch_c
     f.restype = ctypes.c_longlong
     f.argtypes = [
@@ -159,6 +172,54 @@ def native_beam_batch(
             _ptr(out_dist[done:done + chunk]),
             _ptr(visit), 0,
             _ptr(ws), 1 if hamming else 0,
+        )
+        done += chunk
+        if done < nq:
+            visit[:] = 0
+    return out_ids, out_dist
+
+
+def native_build_collect(
+    vectors_f32: np.ndarray,
+    adj: np.ndarray,
+    deg: np.ndarray,
+    seeds_2d: np.ndarray,
+    queries_f32: np.ndarray,
+    beam: int,
+    pool_cap: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Build-path greedy collect (l2): per query returns the pool_cap
+    nearest visited candidates as (ids, SQUARED f32 dists), -1 padded,
+    heap-ordered (order is irrelevant downstream — robust_prune sorts).
+    None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, d = vectors_f32.shape
+    nq, S = seeds_2d.shape
+    adj = np.ascontiguousarray(adj, dtype=np.int32)
+    deg = np.ascontiguousarray(deg, dtype=np.int32)
+    seeds = np.ascontiguousarray(seeds_2d, dtype=np.int64)
+    q = np.ascontiguousarray(queries_f32, dtype=np.float32)
+    v = np.ascontiguousarray(vectors_f32, dtype=np.float32)
+    out_ids = np.empty((nq, pool_cap), dtype=np.int64)
+    out_dist = np.empty((nq, pool_cap), dtype=np.float32)
+    visit = np.zeros(n, dtype=np.int32)
+    ws = np.zeros((beam + 2) * 32, dtype=np.uint8)
+    pool = np.zeros((pool_cap + 2) * 32, dtype=np.uint8)
+    done = 0
+    while done < nq:
+        chunk = min(nq - done, (1 << 31) - 8)
+        lib.build_collect_batch_c(
+            _ptr(v), n, d,
+            _ptr(adj), _ptr(deg), adj.shape[1],
+            _ptr(seeds[done:done + chunk]), S,
+            _ptr(q[done:done + chunk]), chunk,
+            beam, pool_cap,
+            _ptr(out_ids[done:done + chunk]),
+            _ptr(out_dist[done:done + chunk]),
+            _ptr(visit), 0,
+            _ptr(ws), _ptr(pool),
         )
         done += chunk
         if done < nq:

@@ -780,6 +780,33 @@ def greedy_search_batch_visited(
     n = vectors.shape[0]
     if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
+    if metric == "l2" and n >= NATIVE_MIN_ROWS:
+        # native collect path (r3): same greedy, pool capped in-kernel to
+        # BUILD_POOL_CAP nearest (the numpy path collects everything and
+        # build_vamana argpartitions to the same cap downstream)
+        from rust_diskann_spark.core import native
+
+        out_n = native.native_build_collect(
+            np.ascontiguousarray(vectors, dtype=np.float32),
+            graph.adj, graph.deg,
+            np.asarray(seeds_per_q, dtype=np.int64),
+            np.asarray(qmat, dtype=np.float32),
+            beam_width, BUILD_POOL_CAP,
+        )
+        if out_n is not None:
+            wi, wd = out_n
+            results = []
+            for i in range(len(qmat)):
+                real = wi[i] >= 0
+                results.append(
+                    (
+                        wi[i][real],
+                        np.sqrt(
+                            np.maximum(wd[i][real].astype(np.float64), 0.0)
+                        ),
+                    )
+                )
+            return results
     out: list[tuple[np.ndarray, np.ndarray]] = []
     block = max(1, min(max_block, 64 * max(1, (8 << 20) // max(n, 1))))
     for lo in range(0, len(qmat), block):
