@@ -43,11 +43,30 @@ def _compile() -> str | None:
     except OSError:
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
-    so_path = os.path.join(
-        tempfile.gettempdir(), f"rds_beam_{tag}.so"
-    )
+    # per-user cache dir (mode 0700), NOT bare /tmp: the source hash is
+    # public, so a world-writable shared path would let another local user
+    # pre-plant a .so that every executor then dlopens (r3 ADVICE). The
+    # ownership/permission check below rejects a pre-existing file we
+    # didn't create with safe modes.
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    cache_dir = os.path.join(tempfile.gettempdir(), f"rds-{uid}")
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st_dir = os.stat(cache_dir)
+        if hasattr(os, "getuid") and (
+            st_dir.st_uid != os.getuid() or st_dir.st_mode & 0o022
+        ):
+            return None  # squatted or group/other-writable — refuse
+    except OSError:
+        return None
+    so_path = os.path.join(cache_dir, f"rds_beam_{tag}.so")
     if os.path.exists(so_path):
-        return so_path
+        st = os.stat(so_path)
+        if not hasattr(os, "getuid") or (
+            st.st_uid == os.getuid() and not st.st_mode & 0o022
+        ):
+            return so_path
+        return None  # not ours / loosely writable — refuse to load
     tmp = so_path + f".tmp{os.getpid()}"
     for cc in ("cc", "gcc", "clang"):
         try:

@@ -382,6 +382,24 @@ def dedup_components(
             converged = True
             break
     if not converged:
+        # reaching the iteration cap does not itself prove non-convergence:
+        # a run whose LAST allowed round hit the fixpoint (changed > 0 on
+        # round max_iters-1 but nothing left to do), or max_iters=1 where
+        # the fused init round already IS the fixpoint, would warn
+        # spuriously. One extra changed-count check settles it (r3 ADVICE).
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lab").alias("nbr_lab"))
+            .withColumnRenamed("src", "id")
+        )
+        still_changing = (
+            labels.join(nbr_min, "id")
+            .filter(F.col("nbr_lab") < F.col("lab"))
+            .count()
+        )
+        converged = still_changing == 0
+    if not converged:
         import warnings
 
         warnings.warn(

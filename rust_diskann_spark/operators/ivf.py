@@ -253,7 +253,18 @@ def ivf_sampled_knn(
     narrow ``mapInPandas`` argmin (:func:`_assign_map`) is numerically
     equivalent but fold-order-different, which matters only for this
     oracle use."""
-    cents = sampled_centroids_df(vectors, n_cells).persist()
+    # centroids are n_cells rows: collect once and rebuild as a literal
+    # DataFrame rather than persist (a persist here leaked one cached
+    # table per call into executor storage — r3 ADVICE) or recompute (two
+    # TakeOrdered scans of the corpus, one per cross-join below)
+    spark = vectors.sparkSession
+    cent_rows = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in sampled_centroids_df(vectors, n_cells).collect()
+    ]
+    cents = spark.createDataFrame(
+        cent_rows, "cell INT, centroid ARRAY<DOUBLE>"
+    )
     base = _base(vectors, "id", "vec")
     d_assign = distance_expr(metric, F.col("vec"), F.col("centroid"))
     w_assign = Window.partitionBy("id").orderBy("ad", "cell")

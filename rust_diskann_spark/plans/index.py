@@ -145,19 +145,20 @@ class DiskANNIndex:
                 shard_probes=shard_probes, shards_bc=self._broadcast_shards(),
             )
         if mode in ("auto", "scan"):
-            # scan mode collects the query batch driver-side; in auto mode
-            # a too-large batch falls through to the cogrouped search
-            # (which never collects) instead of OOMing the driver
-            # (r2 ADVICE medium item). Explicit scan mode raises inside
-            # scan_search with the cap in the message.
-            if (
-                mode == "scan"
-                or queries.limit(search_ops.SCAN_QUERY_COLLECT_CAP + 1).count()
-                <= search_ops.SCAN_QUERY_COLLECT_CAP
-            ):
+            # scan mode collects the query batch driver-side (a capped
+            # limit-collect — the collect itself is the gate, evaluated
+            # once; r3 ADVICE replaced the separate pre-count, which
+            # double-evaluated the lineage and could race non-deterministic
+            # sources). In auto mode a too-large batch falls through to the
+            # cogrouped search (which never collects) instead of OOMing the
+            # driver; explicit scan mode propagates the error.
+            try:
                 return search_ops.scan_search(
                     queries, self._get_scan_side(), self.params, k, beam_width
                 )
+            except search_ops.ScanBatchTooLarge:
+                if mode == "scan":
+                    raise
         if query_blocks is None:
             par = self.spark.sparkContext.defaultParallelism
             query_blocks = max(1, par // max(self.meta.num_shards, 1))
@@ -326,6 +327,12 @@ def build_index(
         passes=params.passes,
         extra_seeds=params.extra_seeds,
         seed=params.seed,
+        shard_max_degree=params.max_degree,
+        shard_overlap=(
+            min(params.shard_overlap, params.num_shards)
+            if params.merge_shards and params.num_shards > 1
+            else 1
+        ),
     )
     index_store.write_metadata(path, meta)
     return DiskANNIndex(spark=spark, meta=meta, vectors=v_df, graph=g_df)

@@ -50,6 +50,13 @@ class IndexMetadata:
     passes: int
     extra_seeds: int
     seed: int
+    # per-shard build knobs, recorded so reopening a MERGED index (whose
+    # effective max_degree is overlap * per-shard M and whose num_shards
+    # collapses to 1) can be validated against the ORIGINAL build config
+    # like-for-like (r3 verdict: the reuse guard could never match a
+    # merged index without lying about M). None/1 on pre-r4 metadata.
+    shard_max_degree: int | None = None
+    shard_overlap: int = 1
     format_version: int = 1
 
 

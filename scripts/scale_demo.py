@@ -164,11 +164,20 @@ def main() -> None:
         # Check every build knob recorded in metadata, not just N
         # (r2 ADVICE: same-N index with different M/shards passed the
         # old guard and reported numbers for the wrong config).
+        # per-shard M: r4 metadata records shard_max_degree (merged builds
+        # store the EFFECTIVE overlap*M in max_degree, so comparing that
+        # against the per-shard CLI knob could never match — r3 verdict
+        # item). Pre-r4 metadata lacks the field; fall back to max_degree,
+        # which is the per-shard M for non-merged builds.
+        idx_shard_m = idx.meta.shard_max_degree or idx.meta.max_degree
         mismatches = [
             (name, got, want)
             for name, got, want in [
                 ("num_vectors", idx.meta.num_vectors, N),
-                ("max_degree", idx.meta.max_degree, params.max_degree),
+                ("shard_max_degree", idx_shard_m, params.max_degree),
+                ("shard_overlap", idx.meta.shard_overlap,
+                 min(params.shard_overlap, params.num_shards)
+                 if MODE == "merged" else 1),
                 ("build_beam_width", idx.meta.build_beam_width,
                  params.build_beam_width),
                 # merged builds store ONE logical shard regardless of the

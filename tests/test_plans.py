@@ -227,3 +227,82 @@ def test_kmeans_shard_cap_split_bounds_stragglers(spark):
     rows = {int(r["query_id"]): int(r["id"]) for r in res.collect()}
     hits = sum(1 for qid, got in rows.items() if got == qid)
     assert hits >= 0.9 * q.count()  # self-hit through the split shards
+
+
+def test_auto_mode_oversized_batch_falls_back_to_cogroup(spark, sf_dir, monkeypatch):
+    """r3 ADVICE: the scan-batch cap gate is the capped collect itself —
+    evaluated once inside scan_search — and auto mode reroutes an
+    oversized batch to the cogrouped search (never collects); explicit
+    scan mode propagates the error."""
+    import tempfile, shutil, os as _os
+
+    import pytest as _pytest
+
+    from rust_diskann_spark import IndexParams, build_index
+    from rust_diskann_spark.operators import search as search_ops
+    from rust_diskann_spark.plans import index as plans_index
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    n_q = queries.count()
+    assert n_q > 3
+    path = tempfile.mkdtemp(prefix="rds_auto_idx_")
+    shutil.rmtree(path, ignore_errors=True)
+    idx = build_index(
+        vectors, path,
+        params=IndexParams(max_degree=16, build_beam_width=32, num_shards=2, seed=3),
+    )
+    expected = sorted(
+        map(tuple, idx.search_with_dists(queries, k=3, beam_width=32,
+                                         mode="broadcast").collect())
+    )
+    # force the auto path past broadcast and over the scan collect cap
+    monkeypatch.setattr(plans_index, "BROADCAST_INDEX_THRESHOLD", -1)
+    monkeypatch.setattr(search_ops, "SCAN_QUERY_COLLECT_CAP", 3)
+    res = idx.search_with_dists(queries, k=3, beam_width=32, mode="auto")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan  # routed to cogroup, not scan
+    assert sorted(map(tuple, res.collect())) == expected
+    with _pytest.raises(search_ops.ScanBatchTooLarge):
+        idx.search_with_dists(queries, k=3, beam_width=32, mode="scan")
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_merged_metadata_records_per_shard_build_knobs(spark, tmp_path):
+    """r3 verdict item #3: a merged index's metadata must record the
+    PER-SHARD max_degree and the overlap (its effective max_degree is
+    overlap * M and num_shards collapses to 1), so a reuse guard can
+    compare like-for-like against the original build config."""
+    import numpy as np
+
+    from rust_diskann_spark import IndexParams, build_index, open_index
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    path = str(tmp_path / "merged_idx")
+    params = IndexParams(
+        max_degree=8, build_beam_width=16, num_shards=4, seed=5,
+        merge_shards=True, shard_overlap=2, shard_by="kmeans",
+    )
+    idx = build_index(df, path, params)
+    assert idx.meta.num_shards == 1
+    assert idx.meta.max_degree == 16  # effective: overlap * M
+    assert idx.meta.shard_max_degree == 8
+    assert idx.meta.shard_overlap == 2
+    reopened = open_index(spark, path)
+    assert reopened.meta.shard_max_degree == 8
+    assert reopened.meta.shard_overlap == 2
+    # non-merged builds record overlap 1 and shard_max_degree == max_degree
+    path2 = str(tmp_path / "plain_idx")
+    idx2 = build_index(
+        df, path2,
+        params=IndexParams(max_degree=8, build_beam_width=16, num_shards=2,
+                           seed=5),
+    )
+    assert idx2.meta.shard_max_degree == 8
+    assert idx2.meta.shard_overlap == 1

@@ -68,3 +68,24 @@ def test_routing_cosine_and_hamming_shapes():
     dh = _shard_route_dists("hamming", qh, shards_h)
     assert dh.shape == (5, 2)
     assert (dh >= 0).all()
+
+
+def test_routing_hamming_exact_above_2_53():
+    # packed words >= 2^53 with live low-order bits: a float64 round trip
+    # zeroes the low ~11 bits and corrupts the popcount (r3 ADVICE) —
+    # routing must stay integer end-to-end and match exact XOR popcounts
+    base = np.int64(0x7FF0000000003039)  # high AND low bits set
+    m0 = np.array([[base], [base ^ 0x7]], dtype=np.int64)  # shard 0: near q
+    m1 = np.array([[base ^ -1], [base ^ 0x70]], dtype=np.int64)
+    s0 = (np.arange(2), m0, None, 0, None, np.array([1], dtype=np.int64))
+    s1 = (np.arange(2), m1, None, 0, None, np.array([1], dtype=np.int64))
+    q = np.array([[base]], dtype=np.int64)
+    d = _shard_route_dists("hamming", q, [s0, s1])
+    # exact: min popcount per shard — s0: min(0, 3) = 0; s1: min(64-popcount... )
+    assert d[0, 0] == 0.0
+    exp1 = min(
+        bin((int(base) & 0xFFFFFFFFFFFFFFFF) ^ ((int(base) ^ -1) & 0xFFFFFFFFFFFFFFFF)).count("1"),
+        bin(0x70).count("1"),
+    )
+    assert d[0, 1] == float(exp1)
+    assert d[0, 0] < d[0, 1]

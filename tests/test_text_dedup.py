@@ -168,3 +168,26 @@ def test_stratified_hash_sample_deterministic_and_bounded(spark):
     # unlisted strata default to rate 0.0 -> dropped
     s3 = SMP.stratified_hash_sample(df, "doc_id", "lang", {"en": 0.5})
     assert s3.filter(F.col("lang") == "de").count() == 0
+
+
+def test_dedup_components_no_spurious_warning_at_fixpoint(spark):
+    """r3 ADVICE: exhausting max_iters does not itself prove
+    non-convergence — the fused init round may already be the fixpoint
+    (max_iters=1), and a run whose last allowed round reached it must not
+    warn either; a genuinely split long chain still must."""
+    import warnings
+
+    star = spark.createDataFrame([(1, 2), (1, 3)], "doc_a LONG, doc_b LONG")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # any warn -> fail
+        out = DD.dedup_components(star, max_iters=1)
+        assert {(r["doc_id"], r["cluster_rep"]) for r in out.collect()} == {
+            (1, 1), (2, 1), (3, 1)
+        }
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a LONG, doc_b LONG"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        DD.dedup_components(chain, max_iters=1).collect()
+        assert any("did not converge" in str(w.message) for w in rec)

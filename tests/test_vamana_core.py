@@ -443,3 +443,28 @@ def test_native_hamming_popcount_path():
         assert (np.diff(dists) >= 0).all()
         assert all(float(dd) == float(int(dd)) for dd in dists)  # integers
     assert rec / len(qs) >= 0.9
+
+
+def test_native_so_cache_is_private_per_user():
+    """r3 ADVICE (security): the compiled kernel must cache under a
+    per-user 0700 directory (not bare world-writable /tmp where another
+    local user could pre-plant a .so at the content-addressed path), and
+    the cached file must be owned by us and not group/other-writable."""
+    import os
+    import stat
+
+    from rust_diskann_spark.core import native
+
+    so = native._compile()
+    if so is None:
+        pytest.skip("no C compiler on host")
+    cache_dir = os.path.dirname(so)
+    assert os.path.basename(cache_dir).startswith("rds-")
+    st_dir = os.stat(cache_dir)
+    if hasattr(os, "getuid"):
+        assert st_dir.st_uid == os.getuid()
+        assert not st_dir.st_mode & 0o077  # 0700: no group/other access
+        st = os.stat(so)
+        assert st.st_uid == os.getuid()
+        assert not st.st_mode & stat.S_IWGRP
+        assert not st.st_mode & stat.S_IWOTH
