@@ -30,7 +30,46 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def host_calibration() -> dict:
+    """Fixed micro-benchmarks timed alongside the queries so cross-round
+    comparisons can be de-confounded from shared-host variance (r3: a 28%
+    'regression' was uniform host slowdown; documented swings up to ~4x
+    between identical runs). Two probes: a single-process numpy matmul
+    (CPU + memory bandwidth) and a small multiprocess matmul fan-out
+    (contention). Best-of-3 each; ~1 s total on a quiet host."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1536, 1536)).astype(np.float32)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        best = min(best, time.perf_counter() - t0)
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(8) as pool:
+        pool.map(_calib_child, range(8))
+    mp8 = time.perf_counter() - t0
+    return {
+        "matmul_1536_f32_sec": round(best, 4),
+        "mp8_matmul_sec": round(mp8, 4),
+    }
+
+
+def _calib_child(_i: int) -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((1024, 1024)).astype(np.float32)
+    t0 = time.perf_counter()
+    (a @ a).sum()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
+    calib = host_calibration()
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("rust_diskann_spark-bench")
@@ -157,6 +196,7 @@ def main() -> None:
                 "ann_recall_at_10": round(recall, 5),
                 "ann_qps": qps,
                 "n_vectors": n_vec,
+                "host_calibration": calib,
             }
         )
     )
