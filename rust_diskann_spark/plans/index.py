@@ -185,22 +185,32 @@ class DiskANNIndex:
 
     def warm(self, mode: str = "auto") -> "DiskANNIndex":
         """Pin the index in executor memory — the analog of the reference's
-        mmap page-cache warm-up (README.md:37). In broadcast mode (auto
-        under the threshold, or forced with ``mode="broadcast"``) this
-        also pre-materializes the shard broadcast AND runs one untimed
-        probe batch (one trivial query per core) so every reused python
-        worker unpickles the broadcast NOW — measured 3.7x first-batch
-        throughput otherwise lost to worker-side index load (the
-        reference likewise excludes open/mmap from its QPS)."""
-        self.vectors = self.vectors.persist()
-        self.graph = self.graph.persist()
-        self.vectors.count()
-        self.graph.count()
+        mmap page-cache warm-up (README.md:37). What gets pinned follows
+        the mode, because each physical strategy touches different state:
+
+        - broadcast (or auto under the threshold): pre-materialize the
+          shard broadcast AND run one untimed probe batch (one trivial
+          query per core) so every reused python worker unpickles the
+          broadcast NOW — measured 3.7x first-batch throughput otherwise
+          lost to worker-side index load (the reference likewise
+          excludes open/mmap from its QPS). The lazy ``vectors``/
+          ``graph`` DataFrames are NOT persisted here: broadcast-mode
+          searches never read them, and caching 1M-row array columns
+          just to feed the one-time Arrow collect cost the old warm a
+          full extra scan of the index (r4: warm 487 s -> the collect
+          itself is seconds once the join/persist work is gone).
+        - scan (or auto over the threshold): build + persist the scan
+          side — the ONE corpus shuffle that every later batch reuses.
+        - cogroup: persist the raw tables; the per-batch cogroup
+          exchange re-reads them every batch.
+        """
         m = self.meta
         elem = 8 if m.elem_type == "long" else 4
-        if mode == "broadcast" or m.num_vectors * (
-            elem * m.dim + 4 * m.max_degree
-        ) <= (BROADCAST_INDEX_THRESHOLD):
+        est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
+        use_broadcast = mode == "broadcast" or (
+            mode == "auto" and est_bytes <= BROADCAST_INDEX_THRESHOLD
+        )
+        if use_broadcast:
             self._broadcast_shards()
             par = self.spark.sparkContext.defaultParallelism
             elem_sql = "bigint" if m.elem_type == "long" else "float"
@@ -212,6 +222,13 @@ class DiskANNIndex:
                 probe, self.vectors, self.graph, self.params, k=1,
                 beam_width=1, shards_bc=self._shards_bc,
             ).count()
+        elif mode in ("auto", "scan"):
+            self._get_scan_side()
+        else:
+            self.vectors = self.vectors.persist()
+            self.graph = self.graph.persist()
+            self.vectors.count()
+            self.graph.count()
         return self
 
 
