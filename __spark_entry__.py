@@ -360,6 +360,45 @@ def _ann_query(metric: str, merged: bool = False):
 _ANN_SMALL_N = 48  # <= search beam 128; each 2-shard half <= max_degree 32
 
 
+ANN_GATE_TAU = 0.95
+
+
+def _ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the approximate ANN path (r4 verdict item #7):
+    joins the full-size ann_search_l2 output against the exact-l2 ground
+    truth and emits an oracle-checkable assertion row. The beam search is
+    not SQL-expressible, so the oracle cannot recompute the recall —
+    instead BOTH sides emit the quality CLAIM (recall >= tau over the
+    whole query set) and the driver's hash-match fails whenever the graph
+    search degrades below it: the honest middle ground between a
+    rows-only check and faking exactness. tau=0.95 leaves 2-pair
+    headroom at the sf0.01 granularity (5 queries x k=10) while staying
+    far above what a broken graph could reach."""
+    ann = _ann_query("l2")(spark, sf_dir).select("query_id", "id")
+    exact = exact_knn(_qset(spark, sf_dir), _corpus(spark, sf_dir), K, "l2")
+    hits = ann.join(exact.select("query_id", "id"), ["query_id", "id"]).agg(
+        F.count("*").alias("hits")
+    )
+    nq = _qset(spark, sf_dir).agg(
+        F.countDistinct("query_id").alias("n_queries")
+    )
+    return hits.crossJoin(nq).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(K).cast("long").alias("k"),
+        (F.col("hits") >= F.lit(ANN_GATE_TAU) * F.col("n_queries") * K)
+        .cast("long")
+        .alias("recall_ge_tau"),
+    )
+
+
+def _ann_recall_gate_oracle() -> str:
+    return f"""
+        select count(*)::bigint as n_queries, {K}::bigint as k,
+               1::bigint as recall_ge_tau
+        from ({_Q_SQL})
+    """
+
+
 def _ann_degenerate_query(metric: str, merged: bool = False):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _ANN_SMALL_N)
@@ -1477,6 +1516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_oracle_cosine": _ann_degenerate_query("cosine"),
         "ann_oracle_merged": _ann_degenerate_query("l2", merged=True),
         "ann_oracle_hamming": _ann_degenerate_hamming,
+        # quality gate: full-size ANN joined to exact GT, asserted >= tau
+        # (hash-matches the oracle's claim row — r4 verdict item #7)
+        "ann_recall_gate": _ann_recall_gate,
         "ivf_knn_fullprobe": _ivf_query(_IVF_CELLS),
         # r3: the probed rows moved from kmeans (approximate, rows-only)
         # to md5-sampled centroids (deterministic, FULL oracle) — the
@@ -1540,6 +1582,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_oracle_cosine": _ann_degenerate_oracle("cosine"),
         "ann_oracle_merged": _ann_degenerate_oracle("l2"),
         "ann_oracle_hamming": _ann_degenerate_hamming_oracle(),
+        # the gate row asserts recall >= tau on the full-size ANN search;
+        # the oracle emits the same claim row (see _ann_recall_gate)
+        "ann_recall_gate": _ann_recall_gate_oracle(),
         # full-probe IVF scans every cell => exact kNN, same oracle as D5
         "ivf_knn_fullprobe": _knn_oracle("l2"),
         # r3: probe-2 rows now run the md5-sampled-centroid variant whose

@@ -153,8 +153,12 @@ class DiskANNIndex:
             # cogrouped search (which never collects) instead of OOMing the
             # driver; explicit scan mode propagates the error.
             try:
+                # pass the scan-side BUILDER, not the built side: scan_search
+                # gates the query batch first, so an oversized batch falls
+                # through to cogroup without paying the one-time corpus
+                # shuffle or leaving an unused persist behind (r4 ADVICE)
                 return search_ops.scan_search(
-                    queries, self._get_scan_side(), self.params, k, beam_width
+                    queries, self._get_scan_side, self.params, k, beam_width
                 )
             except search_ops.ScanBatchTooLarge:
                 if mode == "scan":
@@ -204,6 +208,13 @@ class DiskANNIndex:
         - cogroup: persist the raw tables; the per-batch cogroup
           exchange re-reads them every batch.
         """
+        if mode not in ("auto", "broadcast", "scan", "cogroup"):
+            # same whitelist as search_with_dists: a typo ("broadcst")
+            # would otherwise fall into the cogroup else-branch and
+            # silently persist GBs of raw tables for nothing (r4 ADVICE)
+            raise ValueError(
+                f"mode must be auto|broadcast|scan|cogroup, got {mode!r}"
+            )
         m = self.meta
         elem = 8 if m.elem_type == "long" else 4
         est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
@@ -230,6 +241,26 @@ class DiskANNIndex:
             self.vectors.count()
             self.graph.count()
         return self
+
+    def close(self) -> None:
+        """Release every piece of cluster state this handle pinned —
+        the scan side persist, the shard broadcast, and the cogroup-warm
+        table persists. A long-lived session cycling many index handles
+        otherwise accumulates cached tables/broadcasts until executor
+        storage fills (r4 verdict lifecycle item). The handle stays
+        usable after close(): the lazy caches rebuild on next use."""
+        if self._scan_side is not None:
+            self._scan_side.unpersist()
+            self._scan_side = None
+        if self._shards_bc is not None:
+            try:
+                self._shards_bc.unpersist(blocking=False)
+                self._shards_bc.destroy()
+            finally:
+                self._shards_bc = None
+        # no-ops when warm("cogroup") never persisted them
+        self.vectors.unpersist()
+        self.graph.unpersist()
 
 
 def build_index(

@@ -265,6 +265,9 @@ def test_auto_mode_oversized_batch_falls_back_to_cogroup(spark, sf_dir, monkeypa
     res = idx.search_with_dists(queries, k=3, beam_width=32, mode="auto")
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan  # routed to cogroup, not scan
+    # r4 ADVICE: the rerouted batch must NOT have paid the one-time corpus
+    # shuffle — the scan side is built only after the batch passes the gate
+    assert idx._scan_side is None
     assert sorted(map(tuple, res.collect())) == expected
     with _pytest.raises(search_ops.ScanBatchTooLarge):
         idx.search_with_dists(queries, k=3, beam_width=32, mode="scan")
@@ -306,3 +309,123 @@ def test_merged_metadata_records_per_shard_build_knobs(spark, tmp_path):
     )
     assert idx2.meta.shard_max_degree == 8
     assert idx2.meta.shard_overlap == 1
+
+
+def test_warm_rejects_unknown_mode(spark, tmp_path):
+    """r4 ADVICE: a typo'd warm mode must raise, not silently fall into
+    the cogroup else-branch and persist GBs of raw tables."""
+    import numpy as np
+
+    from rust_diskann_spark import IndexParams, build_index
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(4).astype("float32").tolist())
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    idx = build_index(
+        df, str(tmp_path / "warm_idx"),
+        params=IndexParams(max_degree=8, build_beam_width=16, num_shards=2,
+                           seed=3),
+    )
+    with pytest.raises(ValueError, match="broadcst"):
+        idx.warm("broadcst")
+
+
+def test_close_releases_cached_state(spark, tmp_path):
+    """r4 verdict lifecycle item: close() must unpersist the scan side,
+    destroy the shard broadcast, and unpersist cogroup-warm persists so a
+    session cycling many handles doesn't accumulate cached tables. The
+    handle stays usable afterwards (lazy caches rebuild)."""
+    import numpy as np
+
+    from rust_diskann_spark import IndexParams, build_index
+
+    rng = np.random.default_rng(4)
+    rows = [(i, rng.standard_normal(4).astype("float32").tolist())
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    idx = build_index(
+        df, str(tmp_path / "close_idx"),
+        params=IndexParams(max_degree=8, build_beam_width=16, num_shards=2,
+                           seed=4),
+    )
+    idx.warm("scan")
+    scan_df = idx._scan_side
+    assert scan_df is not None and scan_df.storageLevel.useMemory
+    idx.warm("broadcast")
+    assert idx._shards_bc is not None
+    idx.warm("cogroup")
+    assert idx.vectors.storageLevel.useMemory
+    assert idx.graph.storageLevel.useMemory
+
+    idx.close()
+    assert idx._scan_side is None and idx._shards_bc is None
+    assert not scan_df.storageLevel.useMemory
+    assert not idx.vectors.storageLevel.useMemory
+    assert not idx.graph.storageLevel.useMemory
+    # still usable: lazy state rebuilds on demand
+    q = df.limit(3).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    res = idx.search_with_dists(q, k=1, beam_width=16, mode="broadcast")
+    assert res.count() == 3
+
+
+def test_materialize_shards_in_memory_fallback(spark):
+    """r4 ADVICE: materialize_shards on a NON-file-backed frame must not
+    re-execute the lineage once per shard — it falls back to one collect
+    per table, split driver-side. Checked by behavior: correct output from
+    in-memory frames (the per-shard filter path would also 'work', so the
+    companion validation test below pins the shared decode path)."""
+    from rust_diskann_spark.operators import search as search_ops
+    from rust_diskann_spark.params import IndexParams
+
+    vec_rows = [(i % 2, i, [float(i)] * 4) for i in range(8)]
+    vectors = spark.createDataFrame(
+        vec_rows, "shard int, id long, vec array<float>"
+    )
+    g_rows = [
+        (i % 2, i, [j for j in range(8) if j % 2 == i % 2 and j != i], i % 2)
+        for i in range(8)
+    ]
+    graph = spark.createDataFrame(
+        g_rows, "shard int, id long, neighbors array<long>, medoid long"
+    )
+    assert not vectors.inputFiles()  # precondition: truly in-memory
+    shards = search_ops.materialize_shards(
+        vectors, graph, IndexParams(metric="l2", num_shards=2)
+    )
+    assert set(shards) == {0, 1}
+    gids0 = shards[0][0]
+    assert list(gids0) == [0, 2, 4, 6]
+    assert shards[0][1].shape == (4, 4)
+
+
+def test_corrupt_index_neighbor_ids_raise(spark):
+    """r4 ADVICE: an out-of-shard neighbor/medoid id must raise loudly —
+    bare searchsorted aliased it to an arbitrary local ordinal and
+    returned silently wrong neighbors."""
+    from rust_diskann_spark.operators import search as search_ops
+    from rust_diskann_spark.params import IndexParams
+
+    vec_rows = [(0, i, [float(i)] * 4) for i in range(6)]
+    vectors = spark.createDataFrame(
+        vec_rows, "shard int, id long, vec array<float>"
+    )
+    g_rows = [(0, i, [(i + 1) % 6, 99], 0) for i in range(6)]  # 99 absent
+    graph = spark.createDataFrame(
+        g_rows, "shard int, id long, neighbors array<long>, medoid long"
+    )
+    with pytest.raises(ValueError, match="neighbor id"):
+        search_ops.materialize_shards(
+            vectors, graph, IndexParams(metric="l2", num_shards=1)
+        )
+    # medoid validation on the same path
+    g_rows2 = [(0, i, [(i + 1) % 6], 42) for i in range(6)]  # medoid absent
+    graph2 = spark.createDataFrame(
+        g_rows2, "shard int, id long, neighbors array<long>, medoid long"
+    )
+    with pytest.raises(ValueError, match="medoid id"):
+        search_ops.materialize_shards(
+            vectors, graph2, IndexParams(metric="l2", num_shards=1)
+        )
