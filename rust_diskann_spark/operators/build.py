@@ -274,7 +274,12 @@ def build_graph(vectors: DataFrame, params: IndexParams) -> DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
         shard = int(pdf["shard"].iloc[0])
         dtype = np.int64 if params.metric == "hamming" else np.float32
-        mat = np.asarray(pdf["vec"].tolist(), dtype=dtype)
+        # np.stack over the per-row numpy arrays Arrow hands us — NOT
+        # tolist(): materializing a 50k x 128 shard as Python floats is
+        # ~10x slower and ~200 MB of transient objects per task, and with
+        # 32 concurrent build tasks that transient alone pressured the
+        # host into killing workers on the r3 5M attempt
+        mat = np.stack(pdf["vec"].to_numpy()).astype(dtype, copy=False)
         graph, medoid_local = vamana.build_vamana(
             mat, params, seed=params.seed + shard
         )

@@ -293,9 +293,32 @@ def minhash_near_duplicates(
     n: int = 3,
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard: (doc_a, doc_b,
-    jaccard). The verify join touches only candidate pairs."""
-    cands = minhash_candidate_pairs(docs, text_col, n)
-    shingle_sets = docs.select(
+    jaccard). The verify stage touches only candidate pairs — AND only
+    candidate DOCS: the shingle arrays (the expensive per-doc state, a
+    full tokenize + n-gram build carrying long string arrays) are computed
+    for the candidate support set alone, not the whole corpus. At scale
+    candidates << corpus, so this turns the verifier's dominant cost from
+    O(corpus) to O(|candidate docs|) (r4 verdict: the verify constant
+    factor, previously two full-corpus shingle scans through the join)."""
+    # the candidate set is referenced three times below (two id
+    # projections + the verify join); the signature pipeline feeding it is
+    # the expensive part and Spark does NOT reuse its exchanges across the
+    # references (measured: 3x MapInPandas recompute, zero ReusedExchange
+    # under AQE). localCheckpoint materializes the tiny pair list once and
+    # truncates the lineage — the same pattern dedup_components uses for
+    # its per-round labels.
+    cands = minhash_candidate_pairs(docs, text_col, n).localCheckpoint(
+        eager=True
+    )
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # semi-join narrows docs to the candidate support set; AQE converts it
+    # to a broadcast join when the id set is small (the common case). The
+    # shingle build runs AFTER the narrowing.
+    shingle_sets = docs.join(cand_ids, "doc_id", "leftsemi").select(
         "doc_id",
         F.array_distinct(
             TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n)
@@ -307,20 +330,29 @@ def minhash_near_duplicates(
     b = shingle_sets.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))).cast(
-        "double"
-    )
-    return (
+    # single evaluation of the (expensive) array_intersect: materialize the
+    # sizes once, derive jaccard from them
+    sized = (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("double")
+            .alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return sized.select(
+        "doc_a",
+        "doc_b",
+        F.when(union > 0, F.col("n_inter") / union)
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def dedup_components(

@@ -69,8 +69,18 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "90g")
+        # local-mode heap: the ONE JVM takes this much of the 128 GiB
+        # host, and every python worker lives in what's left — r3's 5M
+        # attempt at 90g starved 32 build workers into OOM kills.
+        # RDS_DRIVER_MEM trades JVM shuffle room against worker headroom.
+        .config("spark.driver.memory", os.environ.get("RDS_DRIVER_MEM", "90g"))
         .config("spark.driver.maxResultSize", "8g")
+        # r3's 5M attempt died with bare "Python worker exited
+        # unexpectedly" x64 and no traceback; these make any worker
+        # crash print the Python/faulthandler stack so OOM vs segfault
+        # is diagnosable from the log
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
