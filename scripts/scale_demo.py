@@ -151,9 +151,14 @@ def main() -> None:
     build_beam = int(
         os.environ.get("RDS_BUILD_BEAM", "64" if N <= 200_000 else "128")
     )
+    # RDS_PASSES: extra refinement passes over the alpha schedule
+    # (reference lib.rs:1014-1020) — the recall-ceiling knob: more passes
+    # re-prune with the final graph in view, lifting the asymptote the
+    # search beam converges to
+    passes = int(os.environ.get("RDS_PASSES", "1"))
     params = IndexParams(
         max_degree=max_deg, build_beam_width=build_beam, num_shards=n_shards,
-        seed=42,
+        seed=42, passes=passes,
         shard_by="kmeans" if CORPUS == "clustered" else "hash",
         merge_shards=(MODE == "merged"),
     )
@@ -194,6 +199,7 @@ def main() -> None:
                  if MODE == "merged" else 1),
                 ("build_beam_width", idx.meta.build_beam_width,
                  params.build_beam_width),
+                ("passes", idx.meta.passes, params.passes),
                 # merged builds store ONE logical shard regardless of the
                 # cell count the build fanned out over; sharded kmeans
                 # builds may store MORE than requested (cap-split) — the
