@@ -62,9 +62,21 @@ STEADY_WINDOWS = int(os.environ.get("RDS_STEADY_WINDOWS", "2"))
 
 
 def main() -> None:
+    # event log: per-task launch/finish times, so the demo row can carry
+    # the WORST single-task duration of the build — the r3 5M attempt's
+    # failure mode was 2 cells running 3+ hours single-task, and the
+    # cap-split fix's scale claim needs that number, not just wall time
+    evdir = os.path.join(tempfile.gettempdir(), "rds_eventlog")
+    os.makedirs(evdir, exist_ok=True)
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("rust_diskann_spark-scale-demo")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{evdir}")
+        # single plain-text file (Spark 4 defaults to a rolling zstd dir,
+        # which the line-oriented parse below can't read)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -226,6 +238,40 @@ def main() -> None:
         idx = build_index(base, idx_path, params)
         build_s = time.perf_counter() - t0
 
+    def max_task_sec() -> float | None:
+        """Worst single-task duration so far, from the Spark event log."""
+        app_id = spark.sparkContext.applicationId
+        path = next(
+            (
+                p
+                for p in (
+                    os.path.join(evdir, app_id + ".inprogress"),
+                    os.path.join(evdir, app_id),
+                )
+                if os.path.exists(p)
+            ),
+            None,
+        )
+        if path is None:
+            return None
+        worst = 0.0
+        with open(path) as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    info = json.loads(line)["Task Info"]
+                    worst = max(
+                        worst, (info["Finish Time"] - info["Launch Time"]) / 1e3
+                    )
+                except (KeyError, ValueError):
+                    continue
+        return worst or None
+
+    # snapshot BEFORE search so the number is the build's worst task, not
+    # the (longer-lived) steady windows'; reuse mode reports None
+    build_max_task_s = max_task_sec() if build_s else None
+
     queries = base.filter(F.col("id") % (N // Q) == 0).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec")
     ).persist()
@@ -383,6 +429,9 @@ def main() -> None:
                 "build_sec": round(build_s, 2) if build_s else None,
                 "build_vecs_per_sec": (
                     round(N / build_s, 1) if build_s else None
+                ),
+                "build_max_task_sec": (
+                    round(build_max_task_s, 1) if build_max_task_s else None
                 ),
                 "search_sec": round(search_s, 2),
                 "search_qps": round(n_q / search_s, 1),
