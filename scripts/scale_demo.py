@@ -417,6 +417,35 @@ def main() -> None:
     recall = recall_of(res)
     recall_p = recall_of(res_p) if res_p is not None else None
 
+    # RDS_BEAM_SWEEP="160,192,512": measure additional beam widths in the
+    # SAME warmed session — the QPS/recall frontier costs one startup+warm
+    # instead of one per point (each point still gets its own steady
+    # windows + recall vs the already-computed exact GT)
+    beam_sweep = []
+    for b in [
+        int(x)
+        for x in os.environ.get("RDS_BEAM_SWEEP", "").split(",")
+        if x.strip()
+    ]:
+        idx.search_with_dists(queries, k=K, beam_width=b, mode=search_mode).count()
+        runs = []
+        res_b = None
+        for _ in range(STEADY_WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                res_b = idx.search_with_dists(
+                    queries, k=K, beam_width=b, mode=search_mode
+                )
+                res_b.count()
+            runs.append((time.perf_counter() - t0) / 5)
+        beam_sweep.append(
+            {
+                "beam_width": b,
+                "steady_qps": round(n_q / min(runs), 1),
+                "recall_at_10": round(recall_of(res_b), 5),
+            }
+        )
+
     print(
         json.dumps(
             {
@@ -448,6 +477,7 @@ def main() -> None:
                     round(recall_p, 5) if recall_p is not None else None
                 ),
                 "beam_width": BEAM,
+                "beam_sweep": beam_sweep or None,
                 "params": {"max_degree": max_deg,
                            "build_beam_width": build_beam,
                            "num_shards": n_shards, "shard_by": params.shard_by},
