@@ -275,6 +275,15 @@ def main() -> None:
     queries = base.filter(F.col("id") % (N // Q) == 0).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec")
     ).persist()
+    # RDS_Q_PARTS: steady-batch task-skew knob. Queries inherit the
+    # corpus's CPUS partitions (one task per core), so per-query beam
+    # cost variance turns directly into stage-tail stragglers (event-log
+    # measured: median task 0.63 s vs max 0.82 s per steady batch at 1M).
+    # Finer partitions let the scheduler rebalance — 3x CPUS cuts the
+    # tail to ~1 task's jitter at ~10-30 ms extra Arrow setup per task.
+    q_parts = int(os.environ.get("RDS_Q_PARTS", "0"))
+    if q_parts:
+        queries = queries.repartition(q_parts).persist()
     n_q = queries.count()
 
     # local demo host has 128 GiB: force broadcast (RAM-resident) search
