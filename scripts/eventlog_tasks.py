@@ -20,15 +20,21 @@ def summarize(path):
     names = {}
     with open(path, "r", encoding="utf-8", errors="replace") as fh:
         for line in fh:
-            if '"SparkListenerTaskEnd"' in line:
-                ev = json.loads(line)
-                info = ev.get("Task Info", {})
-                dur = (info.get("Finish Time", 0) - info.get("Launch Time", 0)) / 1000.0
-                stages[ev.get("Stage ID")].append(dur)
-            elif '"SparkListenerStageSubmitted"' in line:
-                ev = json.loads(line)
-                si = ev.get("Stage Info", {})
-                names[si.get("Stage ID")] = si.get("Stage Name", "")[:60]
+            try:
+                if '"SparkListenerTaskEnd"' in line:
+                    ev = json.loads(line)
+                    info = ev.get("Task Info", {})
+                    dur = (
+                        info.get("Finish Time", 0) - info.get("Launch Time", 0)
+                    ) / 1000.0
+                    stages[ev.get("Stage ID")].append(dur)
+                elif '"SparkListenerStageSubmitted"' in line:
+                    ev = json.loads(line)
+                    si = ev.get("Stage Info", {})
+                    names[si.get("Stage ID")] = si.get("Stage Name", "")[:60]
+            except json.JSONDecodeError:
+                # .inprogress logs end in a partially-written line
+                continue
     return stages, names
 
 
