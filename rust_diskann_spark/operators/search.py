@@ -288,12 +288,43 @@ def prepare_scan_side(
     return side.repartition(max(n_shards, 1), "shard").persist()
 
 
+def scan_routing_points(
+    scan_side: DataFrame, metric: str
+) -> dict[int, np.ndarray]:
+    """{shard: routing-point matrix} from a prepared scan side — the
+    medoid + FPS entry vectors of every shard, collected driver-side
+    (O(shards x entry_set) rows, independent of corpus size). Computed
+    ONCE per index handle and reused across probed query batches: the
+    scan path's analog of the broadcast path reading routing points out
+    of its resident shard list. Hamming rows stay int64 end-to-end (a
+    float64 round trip zeroes the low bits of words >= 2^53 — r3
+    ADVICE)."""
+    dtype = np.int64 if metric == "hamming" else np.float32
+    has_entries = "entries" in scan_side.columns
+    routing_filter = F.col("id") == F.col("medoid")
+    if has_entries:
+        routing_filter = routing_filter | F.array_contains(
+            "entries", F.col("id")
+        )
+    rows = (
+        scan_side.filter(routing_filter)
+        .select("shard", "vec")
+        .toPandas()
+    )
+    out: dict[int, np.ndarray] = {}
+    for sid, grp in rows.groupby("shard"):
+        out[int(sid)] = _stack_rows(grp["vec"], dtype)
+    return out
+
+
 def scan_search(
     queries: DataFrame,
     scan_side: DataFrame,
     params: IndexParams,
     k: int,
     beam_width: int = 64,
+    shard_probes: int | None = None,
+    routing=None,
 ) -> DataFrame:
     """Steady-state search for indexes LARGER than executor broadcast
     memory: the corpus stays put, the query batch moves.
@@ -337,11 +368,49 @@ def scan_search(
     if callable(scan_side):
         scan_side = scan_side()
     has_entries = "entries" in scan_side.columns
-    bc = spark.sparkContext.broadcast(q_pd)
+
+    # probed routing (IVF-style, same semantics as broadcast mode): the
+    # routing matrix is computed ONCE per batch on the driver from the
+    # per-shard medoid + entry points, and each shard task receives only
+    # the query rows that probe it — per-shard work drops from n_q to
+    # ~n_q * p / n_shards. The corpus partitions stay resident either
+    # way; probing prunes WORK, not residency (the partition-pruning
+    # analog for an applyInPandas scan).
+    probe_map: dict[int, np.ndarray] | None = None
+    if shard_probes is not None and len(q_pd):
+        # ``routing`` may be a prebuilt dict, a zero-arg callable (the
+        # index handle's cache — resolved only now, after the batch gate
+        # and the scan-side build, mirroring the scan_side builder), or
+        # None (computed here, uncached)
+        if callable(routing):
+            routing = routing()
+        if routing is None:
+            routing = scan_routing_points(scan_side, metric)
+        sids = sorted(routing)
+        if shard_probes < len(sids):
+            qmat = _stack_rows(q_pd["qvec"], dtype)
+            pts = [routing[s] for s in sids]
+            starts = np.cumsum([0] + [len(p) for p in pts[:-1]]).tolist()
+            dmat = _route_dists_from_points(metric, qmat, pts, starts)
+            probe_sets = np.argsort(dmat, axis=1, kind="stable")[
+                :, :shard_probes
+            ]
+            probe_map = {
+                int(s): np.nonzero((probe_sets == j).any(axis=1))[0]
+                for j, s in enumerate(sids)
+            }
+    bc = spark.sparkContext.broadcast((q_pd, probe_map))
 
     def run(index_pdf: pd.DataFrame) -> pd.DataFrame:
+        q_all, pmap = bc.value
+        q_sel = q_all
+        if pmap is not None and len(index_pdf):
+            sel = pmap.get(int(index_pdf["shard"].iloc[0]))
+            q_sel = (
+                q_all.iloc[sel if sel is not None else []]
+            )
         return _shard_search_pdf(
-            index_pdf, bc.value, metric, dtype, per_shard_k, beam_width,
+            index_pdf, q_sel, metric, dtype, per_shard_k, beam_width,
             has_entries,
         )
 
@@ -511,6 +580,16 @@ def _shard_route_dists(metric, qmat: np.ndarray, shard_list) -> np.ndarray:
         seg_starts.append(n_pts)
         pts.append(mat[np.array(sorted(set(ids)), dtype=np.int64)])
         n_pts += len(pts[-1])
+    return _route_dists_from_points(metric, qmat, pts, seg_starts)
+
+
+def _route_dists_from_points(
+    metric, qmat: np.ndarray, pts: list, seg_starts: list
+) -> np.ndarray:
+    """Metric core of :func:`_shard_route_dists`, shared with the scan
+    path (which sources its routing points from the persisted scan side
+    rather than a broadcast shard list): ``pts`` is a per-shard list of
+    routing-point matrices, reduced segment-min over the concatenation."""
     if metric == "hamming":
         # packed words stay in INTEGER dtype end-to-end: a float64 round
         # trip has a 53-bit mantissa and silently zeroes the low ~11 bits

@@ -51,6 +51,9 @@ class DiskANNIndex:
     # shuffle that lets every later query batch run with zero corpus
     # movement
     _scan_side: object = None
+    # lazily-collected {shard: routing-point matrix} for probed scan
+    # search — O(shards x entry_set) driver memory, one tiny job ever
+    _scan_routing: object = None
 
     def _broadcast_shards(self):
         if self._shards_bc is None:
@@ -68,6 +71,13 @@ class DiskANNIndex:
             )
             self._scan_side.count()
         return self._scan_side
+
+    def _get_scan_routing(self):
+        if self._scan_routing is None:
+            self._scan_routing = search_ops.scan_routing_points(
+                self._get_scan_side(), self.meta.metric
+            )
+        return self._scan_routing
 
     @property
     def params(self) -> IndexParams:
@@ -93,9 +103,14 @@ class DiskANNIndex:
         mode: str = "auto",
     ) -> DataFrame:
         """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist).
-        ``shard_probes`` (broadcast mode): IVF-style shard routing —
-        search only the p shards with the nearest medoid; None = all
-        (exact shard-and-merge).
+        ``shard_probes`` (broadcast + scan modes): IVF-style shard
+        routing — search only the p shards whose routing set (medoid +
+        FPS entries) is nearest; None = all (exact shard-and-merge). In
+        scan mode each resident shard task receives only the query rows
+        that probe it — per-shard work drops to ~n_q * p / n_shards while
+        the corpus partitions stay put (the partition-pruning analog for
+        an applyInPandas scan). Cogroup cannot route (it replicates every
+        query inside the exchange) and raises.
 
         ``mode``: "auto" picks by the footprint estimate below;
         "broadcast"/"scan"/"cogroup" force a strategy — the same escape
@@ -141,12 +156,12 @@ class DiskANNIndex:
         use_broadcast = mode == "broadcast" or (
             mode == "auto" and est_bytes <= BROADCAST_INDEX_THRESHOLD
         )
-        if shard_probes is not None and not use_broadcast:
-            # scan/cogroup run every shard — silently ignoring the routing
-            # knob would hand back an unrouted full scan (r2 ADVICE item)
+        if shard_probes is not None and mode == "cogroup":
+            # cogroup replicates every query to every shard inside the
+            # exchange — silently ignoring the routing knob would hand
+            # back an unrouted full scan (r2 ADVICE item)
             raise ValueError(
-                "shard_probes is only supported in broadcast mode; "
-                f"resolved mode here is {'scan' if mode == 'auto' else mode!r}"
+                "shard_probes is not supported in cogroup mode"
             )
         if use_broadcast:
             return search_ops.broadcast_search(
@@ -167,11 +182,24 @@ class DiskANNIndex:
                 # through to cogroup without paying the one-time corpus
                 # shuffle or leaving an unused persist behind (r4 ADVICE)
                 return search_ops.scan_search(
-                    queries, self._get_scan_side, self.params, k, beam_width
+                    queries, self._get_scan_side, self.params, k, beam_width,
+                    shard_probes=shard_probes,
+                    routing=self._get_scan_routing
+                    if shard_probes is not None
+                    else None,
                 )
             except search_ops.ScanBatchTooLarge:
                 if mode == "scan":
                     raise
+                if shard_probes is not None:
+                    # auto + probes + oversized batch: the cogroup
+                    # fallback cannot route — surface it rather than
+                    # silently full-scanning (r2 ADVICE item)
+                    raise ValueError(
+                        "shard_probes requires a collectable query batch "
+                        "(scan mode); this batch exceeded the scan collect "
+                        "cap and only the unrouted cogroup path can run it"
+                    )
         if query_blocks is None:
             par = self.spark.sparkContext.defaultParallelism
             query_blocks = max(1, par // max(self.meta.num_shards, 1))
@@ -261,6 +289,7 @@ class DiskANNIndex:
         if self._scan_side is not None:
             self._scan_side.unpersist()
             self._scan_side = None
+        self._scan_routing = None
         if self._shards_bc is not None:
             try:
                 self._shards_bc.unpersist(blocking=False)

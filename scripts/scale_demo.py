@@ -340,10 +340,12 @@ def main() -> None:
     # (skipped in merged mode: the merged index is one logical shard)
     probed_s = None
     res_p = None
-    if MODE != "merged" and search_mode == "broadcast":
-        # probes are a broadcast-mode knob (scan/cogroup raise on it by
-        # design — r3 guard): at >broadcast scale the scan path IS the
-        # steady architecture and probing is done by partition pruning
+    if MODE != "merged" and search_mode in ("broadcast", "scan"):
+        # broadcast probes route inside the resident shard list; scan
+        # probes (r5) route the query batch driver-side and each resident
+        # shard task receives only the rows probing it — the same routing
+        # function, so recall matches broadcast probing exactly. Cogroup
+        # still raises by design (r3 guard).
         t0 = time.perf_counter()
         res_p = idx.search_with_dists(
             queries, k=K, beam_width=BEAM, shard_probes=4, mode=search_mode

@@ -191,6 +191,52 @@ def test_shard_probe_routing(spark, tmp_path):
     assert hits / full.count() >= 0.9
 
 
+def test_scan_mode_probe_routing(spark, tmp_path):
+    """Probed routing through the SCAN path (resident corpus, routed query
+    batches): identical rows to broadcast-mode probing — both route on the
+    same medoid+entry minimum — and the cogroup path still refuses the
+    knob (it replicates every query inside its exchange)."""
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((4, 8)) * 10
+    mat = np.concatenate(
+        [c + rng.standard_normal((100, 8)) * 0.5 for c in centers]
+    ).astype(np.float32)
+    df = _vec_df(spark, [(i, mat[i].tolist()) for i in range(len(mat))])
+    idx = build_index(
+        df, str(tmp_path / "sidx"),
+        max_degree=16, build_beam_width=32, num_shards=4, seed=3,
+        shard_by="kmeans",
+    )
+    q = _vec_df(spark, [(i, mat[i].tolist()) for i in range(0, 400, 40)]).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    bc2 = idx.search_with_dists(q, k=5, beam_width=32, shard_probes=2,
+                                mode="broadcast")
+    sc2 = idx.search_with_dists(q, k=5, beam_width=32, shard_probes=2,
+                                mode="scan")
+    rows_bc = sorted(map(tuple, bc2.collect()))
+    rows_sc = sorted(map(tuple, sc2.collect()))
+    assert [r[:3] for r in rows_bc] == [r[:3] for r in rows_sc]
+    for a, b in zip(rows_bc, rows_sc):
+        assert abs(a[3] - b[3]) < 1e-9
+    # probing >= num_shards through scan == plain scan-all
+    sc_all = idx.search_with_dists(q, k=5, beam_width=32, mode="scan")
+    sc_allp = idx.search_with_dists(q, k=5, beam_width=32, shard_probes=4,
+                                    mode="scan")
+    assert sorted(map(tuple, sc_all.collect())) == sorted(
+        map(tuple, sc_allp.collect())
+    )
+    # routing cache: one collect ever, reused across batches
+    assert idx._scan_routing is not None
+    assert set(idx._scan_routing) == {0, 1, 2, 3}
+    with pytest.raises(ValueError, match="cogroup"):
+        idx.search_with_dists(q, k=5, beam_width=32, shard_probes=2,
+                              mode="cogroup")
+    # close() drops the routing cache with the rest of the pinned state
+    idx.close()
+    assert idx._scan_routing is None
+
+
 def test_merged_index_recall_and_invariants(spark, tmp_path):
     """Merged-index build (DiskANN paper overlapped-cluster merge): the
     per-shard graphs union into ONE global graph (metadata num_shards=1),
