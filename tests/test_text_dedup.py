@@ -124,6 +124,69 @@ def test_embedding_near_dup_block_matmul_matches_planted(spark):
     assert len(got) == 10
 
 
+def test_embedding_lsh_hot_bucket_blocked_pairs(spark):
+    """r5 verdict item #3: a degenerate bucket (all vectors in one LSH
+    bucket — here scaled copies of one direction, which share the sign
+    pattern in EVERY table) must flow through the blocked pair expansion,
+    emitting every C(n,2) pair exactly once rather than B^2/2 rows inside
+    one join partition. Exact count proves no block-boundary pair is
+    dropped or duplicated; n=700 > _PAIR_BLOCK=512 forces a real split."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal(16)
+    n = 700
+    rows = [
+        (i, [float(x) for x in (d * (1.0 + 0.001 * i))]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = DD.embedding_near_duplicates_lsh(emb, threshold=0.999).collect()
+    assert len(got) == n * (n - 1) // 2
+    assert all(r["id_a"] < r["id_b"] for r in got)
+    assert all(r["cosine_sim"] >= 0.999 for r in got)
+
+
+def test_blocked_bucket_pairs_hot_bucket_bounded(spark):
+    """_blocked_bucket_pairs on a planted ~2k-member hot bucket: with
+    block=256 the 2000-member bucket splits into 8 positional blocks ->
+    36 block-pair tasks of <=256^2 pairs each (bounded), and the union of
+    their outputs is exactly C(2000,2) distinct ordered pairs."""
+    n = 2000
+    buckets = spark.createDataFrame(
+        [(0, 0, list(range(n)))], "table_id INT, bucket INT, ids ARRAY<BIGINT>"
+    ).select("ids")
+    pairs = DD._blocked_bucket_pairs(buckets, with_simhash=False, block=256)
+    assert pairs.count() == n * (n - 1) // 2
+
+
+def test_embedding_exact_block_cap_and_distributed_pairs(spark):
+    """r5 verdict item #4: past _MAX_EXACT_BLOCKS the exact variant must
+    refuse with a pointer at the LSH path; below it, the block-pair table
+    is generated executor-side — n_blocks=1024 (524,800 pair rows, a size
+    a driver-side python list would make painfully visible) still returns
+    the planted twins."""
+    import numpy as np
+
+    with pytest.raises(ValueError, match="embedding_near_duplicates_lsh"):
+        DD.embedding_near_duplicates(
+            spark.createDataFrame(
+                [(0, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+            ),
+            n_blocks=DD._MAX_EXACT_BLOCKS + 1,
+        )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 50, 10)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_duplicates(emb, 0.99, n_blocks=1024).collect()
+    }
+    assert {(i, 1000 + i) for i in range(0, 50, 10)} <= got
+
+
 def test_dedup_components_chain_and_isolated_pair(spark):
     """a-b, b-c chain collapses to one cluster labeled min(id); a separate
     pair keeps its own min label; every paired doc gets exactly one row."""
