@@ -96,6 +96,18 @@ static inline float hamming_u64(const uint64_t *a, const uint64_t *b,
     return (float)acc;
 }
 
+/* dot variant (reference lib.rs Dot metric): distance = 1 - a.b, the
+ * negated-inner-product traversal — can be negative, which is fine
+ * (the working set is order-only and the pad value 3.4e38 still sorts
+ * last). f32 like l2sq; the wrapper re-scores the working set in f64. */
+static inline float dot_dist(const float *a, const float *b, int64_t d)
+{
+    float acc = 0.0f;
+    for (int64_t j = 0; j < d; j++)
+        acc += a[j] * b[j];
+    return 1.0f - acc;
+}
+
 /* ------------------------------------------------------------------ */
 /* Build-path collect search (reference lib.rs:1140-1198): the greedy
  * search that feeds robust_prune.  Same traversal as the query kernel,
@@ -241,8 +253,10 @@ long long beam_search_batch_c(
     int64_t k, int64_t beam,
     int64_t *out_ids, float *out_dist,
     int32_t *visit, int32_t epoch_base,
-    void *ws_scratch, int32_t hamming)
+    void *ws_scratch, int32_t mode)
 {
+    /* mode: 0 = l2 (f32 or i8 codes), 1 = hamming (u64 words),
+     *       2 = dot (f32, distance 1 - a.b) */
     Cand *ws = (Cand *)ws_scratch;
     const uint64_t *hvecs = (const uint64_t *)vectors;
     const uint64_t *hqueries = (const uint64_t *)queries;
@@ -256,7 +270,8 @@ long long beam_search_batch_c(
             if (visit[id] == epoch)
                 continue;
             visit[id] = epoch;
-            float dist = hamming ? hamming_u64(hvecs + id * d, qh, d)
+            float dist = mode == 1 ? hamming_u64(hvecs + id * d, qh, d)
+                       : mode == 2 ? dot_dist(vectors + id * d, qv, d)
                        : codes ? l2sq_i8(codes + id * d, qv, d)
                                : l2sq(vectors + id * d, qv, d);
             len = ws_insert(ws, len, (int)beam, dist, id);
@@ -283,7 +298,8 @@ long long beam_search_batch_c(
                 if (visit[v] == epoch)
                     continue;
                 visit[v] = epoch;
-                float dist = hamming ? hamming_u64(hvecs + v * d, qh, d)
+                float dist = mode == 1 ? hamming_u64(hvecs + v * d, qh, d)
+                           : mode == 2 ? dot_dist(vectors + v * d, qv, d)
                            : codes ? l2sq_i8(codes + v * d, qv, d)
                                    : l2sq(vectors + v * d, qv, d);
                 if (full && dist >= worst)

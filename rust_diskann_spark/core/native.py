@@ -133,7 +133,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p,  # out_ids, out_dist
         ctypes.c_void_p, ctypes.c_int32,  # visit, epoch_base
         ctypes.c_void_p,  # ws scratch
-        ctypes.c_int32,  # hamming flag
+        ctypes.c_int32,  # mode: 0=l2, 1=hamming, 2=dot
     ]
     _lib = lib
     return _lib
@@ -141,6 +141,11 @@ def get_lib():
 
 def _ptr(a: np.ndarray | None):
     return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+
+MODE_L2 = 0
+MODE_HAMMING = 1
+MODE_DOT = 2  # traversal distance 1 - a.b (negated inner product)
 
 
 def native_beam_batch(
@@ -151,14 +156,15 @@ def native_beam_batch(
     seeds: np.ndarray,
     queries_f32: np.ndarray,
     beam: int,
-    hamming: bool = False,
+    mode: int = MODE_L2,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Run the native kernel over a query batch; returns (ids, dists)
     of shape (nq, beam) — the FULL working set per query, -1-padded,
-    ordered by traversal (squared f32) distance. The caller finalizes in
-    f64 exactly like the numpy kernel (hamming distances are exact
-    integers already). With ``hamming``, vectors/queries are int64
-    word-packed rows. None if the lib is unavailable."""
+    ordered by traversal (f32) distance. The caller finalizes in f64
+    exactly like the numpy kernel (hamming distances are exact integers
+    already). With ``mode=MODE_HAMMING``, vectors/queries are int64
+    word-packed rows; ``MODE_DOT`` traverses by 1 - a.b over f32 rows.
+    None if the lib is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -169,7 +175,7 @@ def native_beam_batch(
     deg = np.ascontiguousarray(deg, dtype=np.int32)
     seeds = np.ascontiguousarray(seeds, dtype=np.int64)
     q = np.ascontiguousarray(
-        queries_f32, dtype=np.int64 if hamming else np.float32
+        queries_f32, dtype=np.int64 if mode == MODE_HAMMING else np.float32
     )
     out_ids = np.empty((nq, beam), dtype=np.int64)
     out_dist = np.empty((nq, beam), dtype=np.float32)
@@ -190,7 +196,7 @@ def native_beam_batch(
             _ptr(out_ids[done:done + chunk]),
             _ptr(out_dist[done:done + chunk]),
             _ptr(visit), 0,
-            _ptr(ws), 1 if hamming else 0,
+            _ptr(ws), mode,
         )
         done += chunk
         if done < nq:

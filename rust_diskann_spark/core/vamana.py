@@ -618,7 +618,7 @@ def beam_search_batch(
     if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
     if n >= NATIVE_MIN_ROWS and (
-        metric in ("l2", "hamming")
+        metric in ("l2", "hamming", "dot")
         or (metric == "cosine" and quant is not None and quant.normalized)
     ):
         res = _native_l2_batch(
@@ -676,6 +676,17 @@ def _native_l2_batch(
         codes = None
         vec_f32 = np.ascontiguousarray(vectors, dtype=np.int64)
         q_in = np.ascontiguousarray(qmat, dtype=np.int64)
+    elif metric == "dot":
+        # negated-IP traversal (1 - a.b in-kernel); raw f32 rows — the
+        # int8 code view is an l2 isometry, not an IP one, so dot always
+        # traverses full-precision and re-scores 1 - a.b in f64 below
+        codes = None
+        vec_f32 = (
+            vectors
+            if vectors.dtype == np.float32 and vectors.flags.c_contiguous
+            else np.ascontiguousarray(vectors, dtype=np.float32)
+        )
+        q_in = np.ascontiguousarray(qmat, dtype=np.float32)
     elif metric == "cosine":
         # normalized-code traversal (quant.normalized asserted by caller)
         codes = quant.codes
@@ -703,7 +714,11 @@ def _native_l2_batch(
         q_in = np.ascontiguousarray(qmat, dtype=np.float32)
     out = native.native_beam_batch(
         vec_f32, codes, graph.adj, graph.deg, seeds, q_in, beam,
-        hamming=(metric == "hamming"),
+        mode=(
+            native.MODE_HAMMING
+            if metric == "hamming"
+            else native.MODE_DOT if metric == "dot" else native.MODE_L2
+        ),
     )
     if out is None:
         return None
@@ -731,6 +746,12 @@ def _native_l2_batch(
         )
         safe = np.where(denom > 0, denom, 1.0)
         d64 = 1.0 - np.where(denom > 0, num / safe, 0.0)
+    elif metric == "dot":
+        # same f64 re-score formula as the numpy kernel's finalization
+        # (_beam_block's `d64 = 1.0 - num`), so degenerate-regime output
+        # (beam >= n: working set holds every node) is bit-identical
+        rows64 = vectors[ids_flat].astype(np.float64)
+        d64 = 1.0 - np.einsum("ij,ij->i", rows64, q64[rws])
     else:
         d64 = np.sqrt(
             np.maximum(

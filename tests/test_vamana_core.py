@@ -445,6 +445,74 @@ def test_native_hamming_popcount_path():
     assert rec / len(qs) >= 0.9
 
 
+def test_native_dot_negated_ip_path(monkeypatch):
+    """r5 verdict item #8: raw dot rides the native kernel via the
+    negated-inner-product traversal (in-kernel dist = 1 - a.b) instead
+    of falling back to numpy. Two gates: (a) degenerate regime (beam >=
+    n, working set holds every node) is BIT-IDENTICAL to the numpy
+    kernel — both finalize with the same f64 `1 - rows64 . q64` re-score,
+    so equality is exact, not approximate; (b) at real scale (past
+    NATIVE_MIN_ROWS) recall vs exact max-IP and near-total agreement
+    with the numpy path hold the l2 test's gates."""
+    import os
+
+    from rust_diskann_spark.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler on host")
+
+    def numpy_only(call):
+        os.environ["RDS_NO_NATIVE"] = "1"
+        native._tried, native._lib = False, None
+        try:
+            return call()
+        finally:
+            del os.environ["RDS_NO_NATIVE"]
+            native._tried, native._lib = False, None
+
+    # (a) degenerate bit-exactness on a small corpus (force native on)
+    rng = np.random.default_rng(17)
+    small = rng.standard_normal((256, 16)).astype(np.float32)
+    p = IndexParams(max_degree=16, build_beam_width=32, metric="dot")
+    g_s, med_s = vamana.build_vamana(small, p, seed=5)
+    qs_s = small[::31]
+    monkeypatch.setattr(vamana, "NATIVE_MIN_ROWS", 64)
+    res_nat = vamana.beam_search_batch(small, g_s, "dot", med_s, qs_s, 10, 256)
+    res_np = numpy_only(
+        lambda: vamana.beam_search_batch(small, g_s, "dot", med_s, qs_s, 10, 256)
+    )
+    for (ni, nd), (pi, pd_) in zip(res_nat, res_np):
+        assert np.array_equal(ni, pi)
+        assert np.array_equal(nd, pd_)
+    monkeypatch.setattr(vamana, "NATIVE_MIN_ROWS", 4096)
+
+    # (b) realistic-scale recall + agreement
+    n = max(vamana.NATIVE_MIN_ROWS, 4096)
+    mat = np.vstack(
+        [
+            rng.standard_normal((n // 2, 16)) + 2.0,
+            rng.standard_normal((n - n // 2, 16)) - 2.0,
+        ]
+    ).astype(np.float32)
+    p = IndexParams(max_degree=24, build_beam_width=48, metric="dot")
+    g, med = vamana.build_vamana(mat, p, seed=7)
+    qs = mat[::37]
+    res_native = vamana.beam_search_batch(mat, g, "dot", med, qs, 10, 64)
+    res_numpy = numpy_only(
+        lambda: vamana.beam_search_batch(mat, g, "dot", med, qs, 10, 64)
+    )
+    m64 = mat.astype(np.float64)
+    agree = rec_nat = 0.0
+    for (ni, nd), (pi, pd_), q in zip(res_native, res_numpy, qs):
+        exact = np.argsort(1.0 - m64 @ q.astype(np.float64), kind="stable")[:10]
+        rec_nat += len(set(ni.tolist()) & set(exact.tolist())) / 10
+        agree += ni.tolist() == pi.tolist()
+        assert (np.diff(nd) >= -1e-12).all()
+    nq = len(qs)
+    assert rec_nat / nq >= 0.95
+    assert agree / nq >= 0.9
+
+
 def test_native_so_cache_is_private_per_user():
     """r3 ADVICE (security): the compiled kernel must cache under a
     per-user 0700 directory (not bare world-writable /tmp where another
