@@ -25,8 +25,58 @@ from rust_diskann_spark.params import IndexParams
 from rust_diskann_spark.sources import index_store, vectors as vector_src
 
 # index footprint (bytes) below which search broadcasts the whole index
-# instead of cogrouping per shard — analogous to autoBroadcastJoinThreshold
+# instead of cogrouping per shard — analogous to autoBroadcastJoinThreshold.
+# This is the static CEILING; auto mode additionally derives a per-session
+# byte budget from executor memory (see :func:`auto_broadcast_budget`) —
+# a 100 GB index must never ride the broadcast path just because a row
+# count looked small (r5 verdict watch-item).
 BROADCAST_INDEX_THRESHOLD = 256 << 20
+
+# conf key: explicit byte budget for the broadcast-index decision (accepts
+# "512m"/"4g" suffixes) — the session-level escape hatch when the operator
+# knows worker memory better than the heuristic
+BROADCAST_THRESHOLD_CONF = "spark.rust_diskann.broadcastIndexThreshold"
+
+
+def _parse_mem(s: str) -> int:
+    """JVM-style memory string -> bytes ("512m", "4g", "1024k", "123")."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def auto_broadcast_budget(spark: SparkSession) -> int:
+    """Byte budget auto mode allows for a broadcast index.
+
+    Broadcast-mode memory cost is NOT one copy: every reused Python
+    worker unpickles its own materialized-shard copy, so the real
+    footprint is ~(workers per executor) x index bytes on top of the JVM
+    heap. The budget is therefore executor_memory / (4 x executor
+    cores), capped at the static :data:`BROADCAST_INDEX_THRESHOLD` —
+    tightening on memory-poor executors, never loosening past the
+    static ceiling without the explicit ``BROADCAST_THRESHOLD_CONF``
+    override (mirrors how autoBroadcastJoinThreshold is the operator's
+    knob, not a guess the engine silently exceeds).
+    """
+    override = spark.conf.get(BROADCAST_THRESHOLD_CONF, None)
+    if override is not None:
+        return _parse_mem(override)
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local"):
+        # local mode: the one in-process "executor" lives in the driver
+        # JVM and its python workers in what's left of the host
+        mem = spark.conf.get("spark.driver.memory", "1g")
+        cores = spark.sparkContext.defaultParallelism
+    else:
+        mem = spark.conf.get("spark.executor.memory", "1g")
+        cores = int(spark.conf.get("spark.executor.cores", "1"))
+    try:
+        mem_bytes = _parse_mem(mem)
+    except ValueError:
+        return BROADCAST_INDEX_THRESHOLD
+    return min(BROADCAST_INDEX_THRESHOLD, mem_bytes // (4 * max(cores, 1)))
 
 
 @dataclass
@@ -79,6 +129,14 @@ class DiskANNIndex:
             )
         return self._scan_routing
 
+    def _fits_broadcast(self) -> bool:
+        """Auto-mode gate: footprint estimate vs the memory-aware byte
+        budget (:func:`auto_broadcast_budget`) — bytes, never row count."""
+        m = self.meta
+        elem = 8 if m.elem_type == "long" else 4
+        est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
+        return est_bytes <= auto_broadcast_budget(self.spark)
+
     @property
     def params(self) -> IndexParams:
         m = self.meta
@@ -121,8 +179,11 @@ class DiskANNIndex:
         Physical strategy (the broadcast-join vs shuffle-join analogy):
 
         - **broadcast mode** when the estimated index footprint
-          ``n * (elem_size*dim + 4*max_degree)`` fits
-          ``BROADCAST_INDEX_THRESHOLD`` bytes: the whole index ships as a
+          ``n * (elem_size*dim + 4*max_degree)`` fits the memory-aware
+          byte budget (:func:`auto_broadcast_budget` — executor memory /
+          (4 x cores), capped at ``BROADCAST_INDEX_THRESHOLD``, conf
+          override ``spark.rust_diskann.broadcastIndexThreshold``):
+          the whole index ships as a
           broadcast variable and search is ONE narrow mapInPandas over
           queries — zero shuffles (the reference's own regime: a
           RAM-resident index, parallel query batch, README.md:120-134).
@@ -150,11 +211,8 @@ class DiskANNIndex:
             raise ValueError(
                 f"mode must be auto|broadcast|scan|cogroup, got {mode!r}"
             )
-        m = self.meta
-        elem = 8 if m.elem_type == "long" else 4
-        est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
         use_broadcast = mode == "broadcast" or (
-            mode == "auto" and est_bytes <= BROADCAST_INDEX_THRESHOLD
+            mode == "auto" and self._fits_broadcast()
         )
         if shard_probes is not None and mode == "cogroup":
             # cogroup replicates every query to every shard inside the
@@ -253,10 +311,8 @@ class DiskANNIndex:
                 f"mode must be auto|broadcast|scan|cogroup, got {mode!r}"
             )
         m = self.meta
-        elem = 8 if m.elem_type == "long" else 4
-        est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
         use_broadcast = mode == "broadcast" or (
-            mode == "auto" and est_bytes <= BROADCAST_INDEX_THRESHOLD
+            mode == "auto" and self._fits_broadcast()
         )
         if use_broadcast:
             self._broadcast_shards()

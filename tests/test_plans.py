@@ -229,6 +229,58 @@ def test_kmeans_shard_cap_split_bounds_stragglers(spark):
     assert hits >= 0.9 * q.count()  # self-hit through the split shards
 
 
+def test_auto_mode_memory_aware_broadcast_gate(spark, tmp_path):
+    """r5 verdict item #6: auto mode's broadcast decision is a BYTE
+    budget derived from executor memory (executor_mem / (4 x cores),
+    capped at the static BROADCAST_INDEX_THRESHOLD), overridable via
+    spark.rust_diskann.broadcastIndexThreshold — never a bare row count.
+    Over-budget: auto must pick the scan path (no shard broadcast
+    built); below budget: broadcast, unchanged behavior."""
+    import numpy as np
+
+    from rust_diskann_spark import IndexParams, build_index, open_index
+    from rust_diskann_spark.plans import index as plans_index
+
+    assert plans_index._parse_mem("512m") == 512 << 20
+    assert plans_index._parse_mem("4g") == 4 << 30
+    assert plans_index._parse_mem("1024") == 1024
+    # this session: local[4], driver 8g -> 8g/16 = 512m, capped at 256m
+    assert plans_index.auto_broadcast_budget(spark) == 256 << 20
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    q = df.limit(5).select(F.col("id").alias("query_id"),
+                           F.col("vec").alias("qvec"))
+    path = str(tmp_path / "gate_idx")
+    build_index(df, path, params=IndexParams(
+        max_degree=8, build_beam_width=16, num_shards=2, seed=7))
+
+    # synthetic over-threshold index: shrink the budget below this tiny
+    # index's footprint via the conf override
+    spark.conf.set(plans_index.BROADCAST_THRESHOLD_CONF, "1k")
+    try:
+        assert plans_index.auto_broadcast_budget(spark) == 1024
+        idx_scan = open_index(spark, path)
+        res_scan = sorted(map(tuple, idx_scan.search_with_dists(
+            q, k=3, beam_width=16, mode="auto").collect()))
+        assert idx_scan._shards_bc is None  # never broadcast
+        assert idx_scan._scan_side is not None  # scan path chosen
+        idx_scan.close()
+    finally:
+        spark.conf.unset(plans_index.BROADCAST_THRESHOLD_CONF)
+
+    # below budget: unchanged broadcast behavior, identical results
+    idx_bc = open_index(spark, path)
+    res_bc = sorted(map(tuple, idx_bc.search_with_dists(
+        q, k=3, beam_width=16, mode="auto").collect()))
+    assert idx_bc._shards_bc is not None
+    assert idx_bc._scan_side is None
+    assert res_scan == res_bc
+    idx_bc.close()
+
+
 def test_auto_mode_oversized_batch_falls_back_to_cogroup(spark, sf_dir, monkeypatch):
     """r3 ADVICE: the scan-batch cap gate is the capped collect itself —
     evaluated once inside scan_search — and auto mode reroutes an
