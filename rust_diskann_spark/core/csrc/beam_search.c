@@ -59,6 +59,32 @@ static int ws_insert(Cand *ws, int len, int beam, float dist, int64_t id)
     return newlen;
 }
 
+/* ws_insert variant reporting WHERE the entry landed (-1 if rejected),
+ * so the caller can pull its expansion cursor back when an insert lands
+ * below it.  Same ordering/drop semantics as ws_insert. */
+static int ws_insert_pos(Cand *ws, int *len, int beam, float dist, int64_t id)
+{
+    int l = *len;
+    if (l == beam && (dist > ws[l - 1].dist ||
+                      (dist == ws[l - 1].dist && id >= ws[l - 1].id)))
+        return -1;
+    int lo = 0, hi = l;
+    while (lo < hi) {
+        int mid = (lo + hi) >> 1;
+        if (ws[mid].dist < dist || (ws[mid].dist == dist && ws[mid].id < id))
+            lo = mid + 1;
+        else
+            hi = mid;
+    }
+    int newlen = l < beam ? l + 1 : beam;
+    memmove(ws + lo + 1, ws + lo, (size_t)(newlen - lo - 1) * sizeof(Cand));
+    ws[lo].dist = dist;
+    ws[lo].id = id;
+    ws[lo].expanded = 0;
+    *len = newlen;
+    return lo;
+}
+
 static inline float l2sq(const float *a, const float *b, int64_t d)
 {
     float acc = 0.0f;
@@ -185,9 +211,12 @@ long long build_collect_batch_c(
             pool_push(pool, &plen, (int)pool_cap, dist, id);
             len = ws_insert(ws, len, (int)beam, dist, id);
         }
+        /* expansion cursor + prefetch: same scheme (and same bit-exact
+         * argument) as the query kernel below */
+        int cursor = 0;
         for (;;) {
             int bi = -1;
-            for (int i = 0; i < len; i++) {
+            for (int i = cursor; i < len; i++) {
                 if (!ws[i].expanded) {
                     bi = i;
                     break;
@@ -195,13 +224,23 @@ long long build_collect_batch_c(
             }
             if (bi < 0)
                 break;
+            cursor = bi;
             ws[bi].expanded = 1;
             int64_t u = ws[bi].id;
             const int32_t *nb = adj + u * cap;
             int32_t du = deg[u];
             float worst = (len == beam) ? ws[beam - 1].dist : 3.4e38f;
             int full = (len == beam);
+            for (int32_t e = 0; e < du; e++)
+                __builtin_prefetch(&visit[nb[e]], 1, 1);
             for (int32_t e = 0; e < du; e++) {
+                if (e + 4 < du) {
+                    const char *row =
+                        (const char *)(vectors + nb[e + 4] * d);
+                    __builtin_prefetch(row, 0, 1);
+                    if ((size_t)d * 4 > 64)
+                        __builtin_prefetch(row + 64, 0, 1);
+                }
                 int64_t v = nb[e];
                 if (visit[v] == epoch)
                     continue;
@@ -210,7 +249,9 @@ long long build_collect_batch_c(
                 pool_push(pool, &plen, (int)pool_cap, dist, v);
                 if (full && dist >= worst)
                     continue;
-                len = ws_insert(ws, len, (int)beam, dist, v);
+                int pos = ws_insert_pos(ws, &len, (int)beam, dist, v);
+                if (pos >= 0 && pos < cursor)
+                    cursor = pos;
                 full = (len == beam);
                 if (full)
                     worst = ws[beam - 1].dist;
@@ -260,6 +301,10 @@ long long beam_search_batch_c(
     Cand *ws = (Cand *)ws_scratch;
     const uint64_t *hvecs = (const uint64_t *)vectors;
     const uint64_t *hqueries = (const uint64_t *)queries;
+    /* bytes per corpus row, for prefetching the gather stream */
+    size_t rowbytes = mode == 1 ? (size_t)d * 8
+                    : codes && mode == 0 ? (size_t)d
+                                         : (size_t)d * 4;
     for (int64_t q = 0; q < nq; q++) {
         const float *qv = queries + q * d;
         const uint64_t *qh = hqueries + q * d;
@@ -276,10 +321,16 @@ long long beam_search_batch_c(
                                : l2sq(vectors + id * d, qv, d);
             len = ws_insert(ws, len, (int)beam, dist, id);
         }
+        /* expansion cursor: every entry below it is expanded. An insert
+         * can only create a new unexpanded entry at its insertion point,
+         * so the cursor moves back to min(cursor, lo) there — the scan
+         * below is then amortized O(1) per expansion instead of O(beam)
+         * (at beam 512 the restart-from-0 scan was O(beam^2) per query). */
+        int cursor = 0;
         for (;;) {
             /* best unexpanded candidate */
             int bi = -1;
-            for (int i = 0; i < len; i++) {
+            for (int i = cursor; i < len; i++) {
                 if (!ws[i].expanded) {
                     bi = i;
                     break;
@@ -287,24 +338,77 @@ long long beam_search_batch_c(
             }
             if (bi < 0)
                 break;
+            cursor = bi;
             ws[bi].expanded = 1;
             int64_t u = ws[bi].id;
             const int32_t *nb = adj + u * cap;
             int32_t du = deg[u];
             float worst = (len == beam) ? ws[beam - 1].dist : 3.4e38f;
             int full = (len == beam);
+            /* two-pass neighbor evaluation. Pass 1 marks visited and
+             * collects the unvisited ids while prefetching their corpus
+             * rows; pass 2 evaluates distances and inserts.  Bit-exact
+             * vs the fused loop: the same ids are marked in the same
+             * order, and a bounded sorted insert of a fixed candidate
+             * set yields the same working set regardless of how the
+             * stale-`worst` skip interleaves (ws_insert itself drops
+             * what the skip would have).  The win is latency overlap:
+             * visit[] tags (4 B random into an n-sized array) and the
+             * gathered rows both DRAM-miss; prefetching turns two
+             * dependent miss chains per neighbor into pipelined ones. */
+            int64_t cand[512];
+            int nc = 0;
+            for (int32_t e = 0; e < du; e++)
+                __builtin_prefetch(&visit[nb[e]], 1, 1);
             for (int32_t e = 0; e < du; e++) {
                 int64_t v = nb[e];
                 if (visit[v] == epoch)
                     continue;
                 visit[v] = epoch;
+                if (nc < 512) {
+                    const char *row = codes && mode == 0
+                        ? (const char *)(codes + v * d)
+                        : (const char *)vectors + (size_t)v * rowbytes;
+                    __builtin_prefetch(row, 0, 1);
+                    if (rowbytes > 64)
+                        __builtin_prefetch(row + 64, 0, 1);
+                    cand[nc++] = v;
+                    continue;
+                }
+                /* cap overflow (cap > 512): evaluate inline, unprefetched */
                 float dist = mode == 1 ? hamming_u64(hvecs + v * d, qh, d)
                            : mode == 2 ? dot_dist(vectors + v * d, qv, d)
                            : codes ? l2sq_i8(codes + v * d, qv, d)
                                    : l2sq(vectors + v * d, qv, d);
                 if (full && dist >= worst)
                     continue;
-                len = ws_insert(ws, len, (int)beam, dist, v);
+                int pos = ws_insert_pos(ws, &len, (int)beam, dist, v);
+                if (pos >= 0 && pos < cursor)
+                    cursor = pos;
+                full = (len == beam);
+                if (full)
+                    worst = ws[beam - 1].dist;
+            }
+            for (int c = 0; c < nc; c++) {
+                if (c + 4 < nc) {
+                    const char *row = codes && mode == 0
+                        ? (const char *)(codes + cand[c + 4] * d)
+                        : (const char *)vectors
+                              + (size_t)cand[c + 4] * rowbytes;
+                    __builtin_prefetch(row, 0, 1);
+                    if (rowbytes > 64)
+                        __builtin_prefetch(row + 64, 0, 1);
+                }
+                int64_t v = cand[c];
+                float dist = mode == 1 ? hamming_u64(hvecs + v * d, qh, d)
+                           : mode == 2 ? dot_dist(vectors + v * d, qv, d)
+                           : codes ? l2sq_i8(codes + v * d, qv, d)
+                                   : l2sq(vectors + v * d, qv, d);
+                if (full && dist >= worst)
+                    continue;
+                int pos = ws_insert_pos(ws, &len, (int)beam, dist, v);
+                if (pos >= 0 && pos < cursor)
+                    cursor = pos;
                 full = (len == beam);
                 if (full)
                     worst = ws[beam - 1].dist;
