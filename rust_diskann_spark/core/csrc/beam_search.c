@@ -17,8 +17,11 @@
  *   re-scores the returned top-k in float64 against the full-precision
  *   vectors, so final (dist, id) rankings match the numpy kernel's f64
  *   finalization).
- * - visited tracking uses an epoch-tagged int32 array (no per-query
- *   clear); the caller allocates it once per batch.
+ * - visited tracking is a per-query-cleared BITSET laid over the
+ *   caller's int32 visit buffer (1 bit per node; the n/8-byte memset per
+ *   query is microseconds, and the bitset is 32x smaller than the old
+ *   epoch-tag array — at 1M nodes, 125 KB per worker instead of 4 MB, so
+ *   every worker's visited set stays cache-resident under fan-out).
  *
  * Difference from the numpy kernel: expansion is strictly one-at-a-time
  * best-first (fanout=1).  The numpy kernel expands `fanout` per round to
@@ -35,6 +38,13 @@ typedef struct {
     float dist;     /* offset 8, 4 B */
     uint8_t expanded; /* offset 12; struct size 16 with padding */
 } Cand;
+
+/* visited bitset over the caller's (n,) int32 buffer: n bits fit in
+ * n/8 <= 4n bytes with room to spare.  Cleared per query (sequential
+ * memset, microseconds) — the win over epoch tags is footprint: random
+ * probes hit a 32x smaller array that stays in cache across queries. */
+#define VIS_TEST(vb, v) ((vb[(v) >> 6] >> ((v) & 63)) & 1u)
+#define VIS_SET(vb, v) (vb[(v) >> 6] |= (uint64_t)1 << ((v) & 63))
 
 /* insert (dist, id) into ws[0..len) keeping (dist, id) ascending order;
  * drops the worst element if len == beam.  Returns new length. */
@@ -198,15 +208,18 @@ long long build_collect_batch_c(
 {
     Cand *ws = (Cand *)ws_scratch;
     PoolEnt *pool = (PoolEnt *)pool_scratch;
+    uint64_t *vb = (uint64_t *)visit;
+    size_t vis_words = (size_t)((n + 63) >> 6);
+    (void)epoch_base;
     for (int64_t q = 0; q < nq; q++) {
         const float *qv = queries + q * d;
-        int32_t epoch = epoch_base + (int32_t)q + 1;
+        memset(vb, 0, vis_words * 8);
         int len = 0, plen = 0;
         for (int64_t s = 0; s < S; s++) {
             int64_t id = seeds[q * S + s];
-            if (visit[id] == epoch)
+            if (VIS_TEST(vb, id))
                 continue;
-            visit[id] = epoch;
+            VIS_SET(vb, id);
             float dist = l2sq(vectors + id * d, qv, d);
             pool_push(pool, &plen, (int)pool_cap, dist, id);
             len = ws_insert(ws, len, (int)beam, dist, id);
@@ -232,7 +245,7 @@ long long build_collect_batch_c(
             float worst = (len == beam) ? ws[beam - 1].dist : 3.4e38f;
             int full = (len == beam);
             for (int32_t e = 0; e < du; e++)
-                __builtin_prefetch(&visit[nb[e]], 1, 1);
+                __builtin_prefetch(&vb[nb[e] >> 6], 1, 1);
             for (int32_t e = 0; e < du; e++) {
                 if (e + 4 < du) {
                     const char *row =
@@ -242,9 +255,9 @@ long long build_collect_batch_c(
                         __builtin_prefetch(row + 64, 0, 1);
                 }
                 int64_t v = nb[e];
-                if (visit[v] == epoch)
+                if (VIS_TEST(vb, v))
                     continue;
-                visit[v] = epoch;
+                VIS_SET(vb, v);
                 float dist = l2sq(vectors + v * d, qv, d);
                 pool_push(pool, &plen, (int)pool_cap, dist, v);
                 if (full && dist >= worst)
@@ -281,7 +294,7 @@ long long build_collect_batch_c(
  *                                         i8 path: quantized queries
  *   out_ids  (nq, k) int64              — -1-padded results
  *   out_dist (nq, k) float32            — squared traversal distances
- *   visit    (n,) int32                 — caller-zeroed ONCE; epoch tags
+ *   visit    (n,) int32                 — scratch; used as a bitset
  *   ws       (beam+1,) Cand scratch     — caller-allocated
  * Returns the number of queries processed (== nq).
  */
@@ -305,16 +318,19 @@ long long beam_search_batch_c(
     size_t rowbytes = mode == 1 ? (size_t)d * 8
                     : codes && mode == 0 ? (size_t)d
                                          : (size_t)d * 4;
+    uint64_t *vb = (uint64_t *)visit;
+    size_t vis_words = (size_t)((n + 63) >> 6);
+    (void)epoch_base;
     for (int64_t q = 0; q < nq; q++) {
         const float *qv = queries + q * d;
         const uint64_t *qh = hqueries + q * d;
-        int32_t epoch = epoch_base + (int32_t)q + 1;
+        memset(vb, 0, vis_words * 8);
         int len = 0;
         for (int64_t s = 0; s < n_seeds; s++) {
             int64_t id = seeds[s];
-            if (visit[id] == epoch)
+            if (VIS_TEST(vb, id))
                 continue;
-            visit[id] = epoch;
+            VIS_SET(vb, id);
             float dist = mode == 1 ? hamming_u64(hvecs + id * d, qh, d)
                        : mode == 2 ? dot_dist(vectors + id * d, qv, d)
                        : codes ? l2sq_i8(codes + id * d, qv, d)
@@ -359,12 +375,12 @@ long long beam_search_batch_c(
             int64_t cand[512];
             int nc = 0;
             for (int32_t e = 0; e < du; e++)
-                __builtin_prefetch(&visit[nb[e]], 1, 1);
+                __builtin_prefetch(&vb[nb[e] >> 6], 1, 1);
             for (int32_t e = 0; e < du; e++) {
                 int64_t v = nb[e];
-                if (visit[v] == epoch)
+                if (VIS_TEST(vb, v))
                     continue;
-                visit[v] = epoch;
+                VIS_SET(vb, v);
                 if (nc < 512) {
                     const char *row = codes && mode == 0
                         ? (const char *)(codes + v * d)

@@ -338,20 +338,36 @@ def main() -> None:
     # probing pays only when the data has cluster structure; hash
     # sharding + scan-all is the right default for uniform data.
     # (skipped in merged mode: the merged index is one logical shard)
+    # RDS_SHARD_PROBES: probe counts to measure (default 4). p must scale
+    # with how many sub-shards a natural cluster spans: cap-split at 384
+    # shards cuts each of the 64 corpus clusters into ~6 hash pieces, so
+    # p=4 reaches only ~4/6 of a query's home-cluster rows (measured
+    # 0.726 recall) while p=8 covers the whole home cluster.
+    probe_counts = [
+        int(x)
+        for x in os.environ.get("RDS_SHARD_PROBES", "4").split(",")
+        if x.strip()
+    ]
     probed_s = None
     res_p = None
+    probed_extra = []
     if MODE != "merged" and search_mode in ("broadcast", "scan"):
         # broadcast probes route inside the resident shard list; scan
         # probes (r5) route the query batch driver-side and each resident
         # shard task receives only the rows probing it — the same routing
         # function, so recall matches broadcast probing exactly. Cogroup
         # still raises by design (r3 guard).
-        t0 = time.perf_counter()
-        res_p = idx.search_with_dists(
-            queries, k=K, beam_width=BEAM, shard_probes=4, mode=search_mode
-        )
-        res_p.count()
-        probed_s = time.perf_counter() - t0
+        for p_i, p_cnt in enumerate(probe_counts):
+            t0 = time.perf_counter()
+            res_pi = idx.search_with_dists(
+                queries, k=K, beam_width=BEAM, shard_probes=p_cnt,
+                mode=search_mode,
+            )
+            res_pi.count()
+            dt = time.perf_counter() - t0
+            if p_i == 0:
+                probed_s, res_p = dt, res_pi
+            probed_extra.append((p_cnt, dt, res_pi))
 
     # recall vs exact GT on a query sample. r3: GT is DISTRIBUTED — a
     # numpy-matmul partial top-k per corpus partition (broadcast query
@@ -487,6 +503,14 @@ def main() -> None:
                 "probed4_recall_at_10": (
                     round(recall_p, 5) if recall_p is not None else None
                 ),
+                "probed_sweep": [
+                    {
+                        "shard_probes": p_cnt,
+                        "qps": round(n_q / dt, 1),
+                        "recall_at_10": round(recall_of(r), 5),
+                    }
+                    for p_cnt, dt, r in probed_extra
+                ] or None,
                 "beam_width": BEAM,
                 "beam_sweep": beam_sweep or None,
                 "params": {"max_degree": max_deg,
