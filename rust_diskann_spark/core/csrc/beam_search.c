@@ -144,6 +144,82 @@ static inline float dot_dist(const float *a, const float *b, int64_t d)
     return 1.0f - acc;
 }
 
+/* raw-cosine variant (r6 verdict item #7): the wrapper pre-normalizes
+ * the QUERY (unit length, f64 then cast f32), so in-kernel distance is
+ * 1 - a.q_hat/|a| — true cosine distance without touching the corpus
+ * rows. Two fused accumulators per row; a zero row scores 1.0 exactly
+ * like the numpy kernel's guarded finalization. __builtin_sqrtf lowers
+ * to the hardware sqrt under -O3 -march=native (no libm link). */
+static inline float cos_dist(const float *a, const float *b, int64_t d)
+{
+    float ab = 0.0f, aa = 0.0f;
+    for (int64_t j = 0; j < d; j++) {
+        ab += a[j] * b[j];
+        aa += a[j] * a[j];
+    }
+    if (aa <= 0.0f)
+        return 1.0f;
+    return 1.0f - ab / __builtin_sqrtf(aa);
+}
+
+/* one-row traversal distance dispatch shared by the seed loop and the
+ * batched neighbor evaluation (modes: 0 = l2 / int8-l2, 1 = hamming,
+ * 2 = dot, 3 = raw cosine). Inlined by the compiler; `mode` is
+ * loop-invariant so the branches predict perfectly. */
+static inline float row_dist(const float *vectors, const int8_t *codes,
+                             const uint64_t *hvecs, const float *qv,
+                             const uint64_t *qh, int64_t v, int64_t d,
+                             int32_t mode)
+{
+    if (mode == 1)
+        return hamming_u64(hvecs + v * d, qh, d);
+    if (mode == 2)
+        return dot_dist(vectors + v * d, qv, d);
+    if (mode == 3)
+        return cos_dist(vectors + v * d, qv, d);
+    if (codes)
+        return l2sq_i8(codes + v * d, qv, d);
+    return l2sq(vectors + v * d, qv, d);
+}
+
+/* evaluate a buffered batch of unvisited neighbor ids IN NEIGHBOR ORDER
+ * and insert admissible ones into the working set, pulling the caller's
+ * expansion cursor back when an insert lands below it. Called once per
+ * expansion for deg <= 512, and as an in-order FLUSH when a node's
+ * degree overflows the buffer — so evaluation order equals the fused
+ * loop's for ANY degree (the r6 advisor's deg>512 tie caveat is gone:
+ * the stale-`worst` skip sees candidates in exactly the same sequence).
+ */
+static inline void eval_insert_batch(
+    const float *vectors, const int8_t *codes, const uint64_t *hvecs,
+    const float *qv, const uint64_t *qh, int64_t d, size_t rowbytes,
+    int32_t mode, Cand *ws, int *len, int beam, int *cursor,
+    const int64_t *cand, int nc)
+{
+    int full = (*len == beam);
+    float worst = full ? ws[beam - 1].dist : 3.4e38f;
+    for (int c = 0; c < nc; c++) {
+        if (c + 4 < nc) {
+            const char *row = codes && mode == 0
+                ? (const char *)(codes + cand[c + 4] * d)
+                : (const char *)vectors + (size_t)cand[c + 4] * rowbytes;
+            __builtin_prefetch(row, 0, 1);
+            if (rowbytes > 64)
+                __builtin_prefetch(row + 64, 0, 1);
+        }
+        int64_t v = cand[c];
+        float dist = row_dist(vectors, codes, hvecs, qv, qh, v, d, mode);
+        if (full && dist >= worst)
+            continue;
+        int pos = ws_insert_pos(ws, len, beam, dist, v);
+        if (pos >= 0 && pos < *cursor)
+            *cursor = pos;
+        full = (*len == beam);
+        if (full)
+            worst = ws[beam - 1].dist;
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* Build-path collect search (reference lib.rs:1140-1198): the greedy
  * search that feeds robust_prune.  Same traversal as the query kernel,
@@ -331,10 +407,7 @@ long long beam_search_batch_c(
             if (VIS_TEST(vb, id))
                 continue;
             VIS_SET(vb, id);
-            float dist = mode == 1 ? hamming_u64(hvecs + id * d, qh, d)
-                       : mode == 2 ? dot_dist(vectors + id * d, qv, d)
-                       : codes ? l2sq_i8(codes + id * d, qv, d)
-                               : l2sq(vectors + id * d, qv, d);
+            float dist = row_dist(vectors, codes, hvecs, qv, qh, id, d, mode);
             len = ws_insert(ws, len, (int)beam, dist, id);
         }
         /* expansion cursor: every entry below it is expanded. An insert
@@ -359,19 +432,17 @@ long long beam_search_batch_c(
             int64_t u = ws[bi].id;
             const int32_t *nb = adj + u * cap;
             int32_t du = deg[u];
-            float worst = (len == beam) ? ws[beam - 1].dist : 3.4e38f;
-            int full = (len == beam);
             /* two-pass neighbor evaluation. Pass 1 marks visited and
              * collects the unvisited ids while prefetching their corpus
-             * rows; pass 2 evaluates distances and inserts.  Bit-exact
-             * vs the fused loop: the same ids are marked in the same
-             * order, and a bounded sorted insert of a fixed candidate
-             * set yields the same working set regardless of how the
-             * stale-`worst` skip interleaves (ws_insert itself drops
-             * what the skip would have).  The win is latency overlap:
-             * visit[] tags (4 B random into an n-sized array) and the
-             * gathered rows both DRAM-miss; prefetching turns two
-             * dependent miss chains per neighbor into pipelined ones. */
+             * rows; pass 2 (eval_insert_batch) evaluates distances and
+             * inserts.  Bit-exact vs the fused loop for any degree: the
+             * same ids are marked in the same order, and when deg > 512
+             * the buffer FLUSHES in neighbor order, so the stale-`worst`
+             * skip sees candidates in the fused loop's exact sequence.
+             * The win is latency overlap: visit[] tags (4 B random into
+             * an n-sized array) and the gathered rows both DRAM-miss;
+             * prefetching turns two dependent miss chains per neighbor
+             * into pipelined ones. */
             int64_t cand[512];
             int nc = 0;
             for (int32_t e = 0; e < du; e++)
@@ -381,54 +452,22 @@ long long beam_search_batch_c(
                 if (VIS_TEST(vb, v))
                     continue;
                 VIS_SET(vb, v);
-                if (nc < 512) {
-                    const char *row = codes && mode == 0
-                        ? (const char *)(codes + v * d)
-                        : (const char *)vectors + (size_t)v * rowbytes;
-                    __builtin_prefetch(row, 0, 1);
-                    if (rowbytes > 64)
-                        __builtin_prefetch(row + 64, 0, 1);
-                    cand[nc++] = v;
-                    continue;
+                if (nc == 512) {
+                    eval_insert_batch(vectors, codes, hvecs, qv, qh, d,
+                                      rowbytes, mode, ws, &len, (int)beam,
+                                      &cursor, cand, nc);
+                    nc = 0;
                 }
-                /* cap overflow (cap > 512): evaluate inline, unprefetched */
-                float dist = mode == 1 ? hamming_u64(hvecs + v * d, qh, d)
-                           : mode == 2 ? dot_dist(vectors + v * d, qv, d)
-                           : codes ? l2sq_i8(codes + v * d, qv, d)
-                                   : l2sq(vectors + v * d, qv, d);
-                if (full && dist >= worst)
-                    continue;
-                int pos = ws_insert_pos(ws, &len, (int)beam, dist, v);
-                if (pos >= 0 && pos < cursor)
-                    cursor = pos;
-                full = (len == beam);
-                if (full)
-                    worst = ws[beam - 1].dist;
+                const char *row = codes && mode == 0
+                    ? (const char *)(codes + v * d)
+                    : (const char *)vectors + (size_t)v * rowbytes;
+                __builtin_prefetch(row, 0, 1);
+                if (rowbytes > 64)
+                    __builtin_prefetch(row + 64, 0, 1);
+                cand[nc++] = v;
             }
-            for (int c = 0; c < nc; c++) {
-                if (c + 4 < nc) {
-                    const char *row = codes && mode == 0
-                        ? (const char *)(codes + cand[c + 4] * d)
-                        : (const char *)vectors
-                              + (size_t)cand[c + 4] * rowbytes;
-                    __builtin_prefetch(row, 0, 1);
-                    if (rowbytes > 64)
-                        __builtin_prefetch(row + 64, 0, 1);
-                }
-                int64_t v = cand[c];
-                float dist = mode == 1 ? hamming_u64(hvecs + v * d, qh, d)
-                           : mode == 2 ? dot_dist(vectors + v * d, qv, d)
-                           : codes ? l2sq_i8(codes + v * d, qv, d)
-                                   : l2sq(vectors + v * d, qv, d);
-                if (full && dist >= worst)
-                    continue;
-                int pos = ws_insert_pos(ws, &len, (int)beam, dist, v);
-                if (pos >= 0 && pos < cursor)
-                    cursor = pos;
-                full = (len == beam);
-                if (full)
-                    worst = ws[beam - 1].dist;
-            }
+            eval_insert_batch(vectors, codes, hvecs, qv, qh, d, rowbytes,
+                              mode, ws, &len, (int)beam, &cursor, cand, nc);
         }
         int64_t kk = k < len ? k : len;
         for (int64_t i = 0; i < kk; i++) {

@@ -146,6 +146,7 @@ def _ptr(a: np.ndarray | None):
 MODE_L2 = 0
 MODE_HAMMING = 1
 MODE_DOT = 2  # traversal distance 1 - a.b (negated inner product)
+MODE_COS = 3  # raw cosine: queries pre-normalized, dist 1 - a.q_hat/|a|
 
 
 def native_beam_batch(
@@ -163,7 +164,9 @@ def native_beam_batch(
     ordered by traversal (f32) distance. The caller finalizes in f64
     exactly like the numpy kernel (hamming distances are exact integers
     already). With ``mode=MODE_HAMMING``, vectors/queries are int64
-    word-packed rows; ``MODE_DOT`` traverses by 1 - a.b over f32 rows.
+    word-packed rows; ``MODE_DOT`` traverses by 1 - a.b over f32 rows;
+    ``MODE_COS`` traverses raw f32 rows against UNIT-NORM queries
+    (true cosine distance, corpus norms computed in-kernel).
     None if the lib is unavailable."""
     lib = get_lib()
     if lib is None:
@@ -179,11 +182,13 @@ def native_beam_batch(
     )
     out_ids = np.empty((nq, beam), dtype=np.int64)
     out_dist = np.empty((nq, beam), dtype=np.float32)
-    visit = np.zeros(n, dtype=np.int32)
+    # visited BITSET scratch: the kernel memsets ceil(n/64) int64 words
+    # per query, so size the allocation in words (an int32[n] array is
+    # 4 B short for n == 1)
+    visit = np.zeros(max((n + 63) // 64, 1), dtype=np.int64)
     ws = np.zeros((beam + 2) * 32, dtype=np.uint8)  # Cand is 16 B; 2x slack
     done = 0
     while done < nq:
-        # epoch tags are int32; re-zero when a chunk would overflow
         chunk = min(nq - done, (1 << 31) - 8)
         lib.beam_search_batch_c(
             _ptr(vectors_f32 if codes_i8 is None else None),
@@ -199,8 +204,6 @@ def native_beam_batch(
             _ptr(ws), mode,
         )
         done += chunk
-        if done < nq:
-            visit[:] = 0
     return out_ids, out_dist
 
 
@@ -229,7 +232,8 @@ def native_build_collect(
     v = np.ascontiguousarray(vectors_f32, dtype=np.float32)
     out_ids = np.empty((nq, pool_cap), dtype=np.int64)
     out_dist = np.empty((nq, pool_cap), dtype=np.float32)
-    visit = np.zeros(n, dtype=np.int32)
+    # bitset scratch sized in int64 words (see native_beam_batch)
+    visit = np.zeros(max((n + 63) // 64, 1), dtype=np.int64)
     ws = np.zeros((beam + 2) * 32, dtype=np.uint8)
     pool = np.zeros((pool_cap + 2) * 32, dtype=np.uint8)
     done = 0
@@ -247,6 +251,4 @@ def native_build_collect(
             _ptr(ws), _ptr(pool),
         )
         done += chunk
-        if done < nq:
-            visit[:] = 0
     return out_ids, out_dist

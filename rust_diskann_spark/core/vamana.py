@@ -617,10 +617,7 @@ def beam_search_batch(
     beam = max(beam_width, k)
     if metric in ("l2", "cosine") and sqnorms is None:
         sqnorms = sq_norms(vectors)
-    if n >= NATIVE_MIN_ROWS and (
-        metric in ("l2", "hamming", "dot")
-        or (metric == "cosine" and quant is not None and quant.normalized)
-    ):
+    if n >= NATIVE_MIN_ROWS and metric in ("l2", "hamming", "dot", "cosine"):
         res = _native_l2_batch(
             vectors, graph, medoid, qmat, k, beam, sqnorms, entries, quant,
             metric,
@@ -658,9 +655,12 @@ def _native_l2_batch(
     and re-sorting by (dist, id) makes the returned rankings match the
     numpy kernel's finalization. None -> caller falls back to numpy.
 
-    ``metric="cosine"`` requires a NORMALIZED QuantizedCorpus: on unit
-    vectors squared l2 is monotonic with cosine distance, so the same C
-    kernel traverses and the finalize re-scores true f64 cosine."""
+    ``metric="cosine"`` traverses through the int8 l2 kernel when a
+    NORMALIZED QuantizedCorpus is supplied (on unit vectors squared l2
+    is monotonic with cosine distance); otherwise (r6 verdict item #7)
+    through kernel mode 3, which scores true cosine against the raw f32
+    rows with the query pre-normalized wrapper-side — either way the
+    finalize re-scores true f64 cosine."""
     from rust_diskann_spark.core import native
 
     if native.get_lib() is None:
@@ -687,8 +687,9 @@ def _native_l2_batch(
             else np.ascontiguousarray(vectors, dtype=np.float32)
         )
         q_in = np.ascontiguousarray(qmat, dtype=np.float32)
-    elif metric == "cosine":
-        # normalized-code traversal (quant.normalized asserted by caller)
+    elif metric == "cosine" and quant is not None and quant.normalized:
+        # normalized-code traversal: unit vectors make squared int8 l2
+        # monotonic with cosine distance (rides MODE_L2 over the codes)
         codes = quant.codes
         q64n = np.asarray(qmat, dtype=np.float64)
         qn = np.sqrt(np.einsum("ij,ij->i", q64n, q64n))
@@ -697,6 +698,19 @@ def _native_l2_batch(
             np.float32
         )
         vec_f32 = None
+    elif metric == "cosine":
+        # raw-cosine traversal (kernel mode 3): normalize the query in
+        # f64 wrapper-side; the kernel computes 1 - a.q_hat/|a| against
+        # the full-precision rows (corpus norms fused into the row scan)
+        codes = None
+        q64n = np.asarray(qmat, dtype=np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", q64n, q64n))
+        q_in = (q64n / np.where(qn > 0, qn, 1.0)[:, None]).astype(np.float32)
+        vec_f32 = (
+            vectors
+            if vectors.dtype == np.float32 and vectors.flags.c_contiguous
+            else np.ascontiguousarray(vectors, dtype=np.float32)
+        )
     elif quant is not None and not quant.normalized:
         codes = quant.codes
         q_in = np.clip(
@@ -717,7 +731,11 @@ def _native_l2_batch(
         mode=(
             native.MODE_HAMMING
             if metric == "hamming"
-            else native.MODE_DOT if metric == "dot" else native.MODE_L2
+            else native.MODE_DOT
+            if metric == "dot"
+            else native.MODE_COS
+            if metric == "cosine" and codes is None
+            else native.MODE_L2
         ),
     )
     if out is None:

@@ -770,6 +770,17 @@ def embedding_near_duplicates_lsh(
     # bounded tasks. A direct bucket self-join (the r5 shape) put an
     # entire dense-cluster bucket's quadratic output inside ONE join
     # partition — the r5 verdict's remaining scale-killer in this path.
+    id_type = emb.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # the blocked pair expansion carries ids as longs; a silent
+        # cast("long") turns string ids into NULLs that collect_list
+        # drops, returning an empty result with no error (r6 advisor)
+        raise TypeError(
+            f"embedding_near_duplicates_lsh: id column {id_col!r} must be "
+            f"an integral type, got {id_type} — map ids to longs first "
+            "(e.g. zipWithIndex / row_number) or use the exact "
+            "embedding_near_duplicates path, which accepts any id type"
+        )
     ided = emb.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(vec_col).alias("v")
     )

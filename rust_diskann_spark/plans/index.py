@@ -39,8 +39,15 @@ BROADCAST_THRESHOLD_CONF = "spark.rust_diskann.broadcastIndexThreshold"
 
 
 def _parse_mem(s: str) -> int:
-    """JVM-style memory string -> bytes ("512m", "4g", "1024k", "123")."""
+    """JVM-style memory string -> bytes ("512m", "4gb", "1024k", "123").
+
+    Accepts both single-letter and Spark's two-letter ("mb"/"gb"/...)
+    suffix forms — "4gb" silently falling back to the static ceiling was
+    an r6 advisor finding.
+    """
     s = s.strip().lower()
+    if s.endswith("b") and len(s) > 1 and not s[-2].isdigit():
+        s = s[:-1]
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if s and s[-1] in mult:
         return int(float(s[:-1]) * mult[s[-1]])
@@ -62,7 +69,13 @@ def auto_broadcast_budget(spark: SparkSession) -> int:
     """
     override = spark.conf.get(BROADCAST_THRESHOLD_CONF, None)
     if override is not None:
-        return _parse_mem(override)
+        try:
+            return _parse_mem(override)
+        except ValueError as exc:
+            raise ValueError(
+                f"{BROADCAST_THRESHOLD_CONF}={override!r} is not a memory "
+                "size (expected forms: '268435456', '256m', '256mb', '4g')"
+            ) from exc
     master = spark.conf.get("spark.master", "")
     if master.startswith("local"):
         # local mode: the one in-process "executor" lives in the driver

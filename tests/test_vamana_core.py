@@ -408,6 +408,127 @@ def test_native_cosine_via_normalized_codes():
     assert rec / len(qs) >= 0.95
 
 
+def test_native_cosine_raw_path(monkeypatch):
+    """r6 verdict item #7: UNNORMALIZED cosine rides the native kernel
+    via mode 3 (query pre-normalized wrapper-side, in-kernel distance
+    1 - a.q_hat/|a|) instead of falling back to numpy when no normalized
+    int8 code view exists. Same two gates as the dot test: (a)
+    degenerate regime (beam >= n) is BIT-IDENTICAL to the numpy kernel
+    (shared f64 cosine re-score finalization); (b) at real scale, recall
+    vs exact cosine and near-total agreement with the numpy path."""
+    import os
+
+    from rust_diskann_spark.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler on host")
+
+    def numpy_only(call):
+        os.environ["RDS_NO_NATIVE"] = "1"
+        native._tried, native._lib = False, None
+        try:
+            return call()
+        finally:
+            del os.environ["RDS_NO_NATIVE"]
+            native._tried, native._lib = False, None
+
+    # (a) degenerate bit-exactness on a small corpus (force native on);
+    # mixed magnitudes so cosine != l2 ordering, and NO quant passed —
+    # this exercises exactly the raw-row mode-3 path
+    rng = np.random.default_rng(23)
+    small = (
+        rng.standard_normal((256, 16)) * rng.uniform(0.5, 3.0, (256, 1))
+    ).astype(np.float32)
+    p = IndexParams(max_degree=16, build_beam_width=32, metric="cosine")
+    g_s, med_s = vamana.build_vamana(small, p, seed=6)
+    qs_s = small[::31]
+    monkeypatch.setattr(vamana, "NATIVE_MIN_ROWS", 64)
+    res_nat = vamana.beam_search_batch(small, g_s, "cosine", med_s, qs_s, 10, 256)
+    res_np = numpy_only(
+        lambda: vamana.beam_search_batch(small, g_s, "cosine", med_s, qs_s, 10, 256)
+    )
+    for (ni, nd), (pi, pd_) in zip(res_nat, res_np):
+        assert np.array_equal(ni, pi)
+        assert np.array_equal(nd, pd_)
+    monkeypatch.setattr(vamana, "NATIVE_MIN_ROWS", 4096)
+
+    # (b) realistic-scale recall + agreement, still quant-free
+    n = max(vamana.NATIVE_MIN_ROWS, 4096)
+    mat = (
+        rng.standard_normal((n, 16)) * rng.uniform(0.5, 3.0, (n, 1))
+    ).astype(np.float32)
+    p = IndexParams(max_degree=24, build_beam_width=48, metric="cosine")
+    g, med = vamana.build_vamana(mat, p, seed=11)
+    qs = mat[::53]
+    res_native = vamana.beam_search_batch(mat, g, "cosine", med, qs, 10, 64)
+    res_numpy = numpy_only(
+        lambda: vamana.beam_search_batch(mat, g, "cosine", med, qs, 10, 64)
+    )
+    m64 = mat.astype(np.float64)
+    sims = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    agree = rec_nat = 0.0
+    for (ni, nd), (pi, pd_), q in zip(res_native, res_numpy, qs):
+        qn = q.astype(np.float64)
+        qn = qn / np.linalg.norm(qn)
+        exact = np.argsort(-(sims @ qn), kind="stable")[:10]
+        rec_nat += len(set(ni.tolist()) & set(exact.tolist())) / 10
+        agree += ni.tolist() == pi.tolist()
+        assert (np.diff(nd) >= -1e-12).all()
+    nq = len(qs)
+    assert rec_nat / nq >= 0.95
+    assert agree / nq >= 0.9
+
+
+def test_native_high_degree_flush_matches_numpy(monkeypatch):
+    """r6 advisor: when deg(u) > 512 the kernel's two-pass candidate
+    buffer overflows; the r7 fix FLUSHES it in neighbor order so
+    evaluation order equals the fused loop's for any degree. Gate:
+    degenerate regime (beam >= n) over a hand-built graph whose hub node
+    has degree 600 is bit-identical between native and numpy kernels."""
+    import os
+
+    from rust_diskann_spark.core import native
+
+    if native.get_lib() is None:
+        pytest.skip("no C compiler on host")
+    rng = np.random.default_rng(41)
+    n, d = 700, 8
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    # hub graph: node 0 points at 600 nodes; everyone points back at the
+    # hub plus a few randoms, so search from the hub exercises the flush
+    cap = 600
+    adj = np.full((n, cap), -1, dtype=np.int32)
+    deg = np.zeros(n, dtype=np.int32)
+    hub_out = rng.choice(np.arange(1, n), size=600, replace=False)
+    adj[0, :600] = hub_out
+    deg[0] = 600
+    for i in range(1, n):
+        nbrs = [0] + rng.choice(np.arange(1, n), size=8, replace=False).tolist()
+        nbrs = [x for x in dict.fromkeys(nbrs) if x != i][:8]
+        adj[i, : len(nbrs)] = nbrs
+        deg[i] = len(nbrs)
+    g = vamana.Graph(adj=adj, deg=deg)
+    qs = mat[::71]
+    monkeypatch.setattr(vamana, "NATIVE_MIN_ROWS", 64)
+    res_nat = vamana.beam_search_batch(mat, g, "l2", med := 0, qs, 10, n)
+
+    def numpy_only(call):
+        os.environ["RDS_NO_NATIVE"] = "1"
+        native._tried, native._lib = False, None
+        try:
+            return call()
+        finally:
+            del os.environ["RDS_NO_NATIVE"]
+            native._tried, native._lib = False, None
+
+    res_np = numpy_only(
+        lambda: vamana.beam_search_batch(mat, g, "l2", med, qs, 10, n)
+    )
+    for (ni, nd), (pi, pd_) in zip(res_nat, res_np):
+        assert np.array_equal(ni, pi)
+        assert np.array_equal(nd, pd_)
+
+
 def test_native_hamming_popcount_path():
     """r3: hamming rides the native kernel via XOR+popcount on the
     word-packed int64 rows (reference lib.rs:22-29 u64 vectors);
