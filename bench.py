@@ -194,10 +194,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    calib_ratio = (
-        (calib["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
-        * (calib["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
-    ) ** 0.5
+
+    # r6 verdict item #8: one probe can't linearize a 4x mid-run weather
+    # swing across 23 heterogeneous queries. Probe AGAIN after the query
+    # loop and emit both; the normalized headline is only meaningful when
+    # the two probes agree (the weather held), so gate it on a 1.5x
+    # agreement band and null it out otherwise — a judge reading
+    # BENCH_r{N} then knows to fall back to the raw number + scale runs.
+    calib_post = host_calibration()
+
+    def _ratio(c: dict) -> float:
+        return (
+            (c["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
+            * (c["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
+        ) ** 0.5
+
+    r_pre, r_post = _ratio(calib), _ratio(calib_post)
+    calib_ratio = (r_pre * r_post) ** 0.5
+    calib_valid = max(r_pre, r_post) / min(r_pre, r_post) <= 1.5
     print(
         json.dumps(
             {
@@ -210,8 +224,14 @@ def main() -> None:
                 "ann_qps": qps,
                 "n_vectors": n_vec,
                 "host_calibration": calib,
+                "host_calibration_post": calib_post,
                 "calibration_ratio_vs_r4": round(calib_ratio, 4),
-                "headline_total_normalized": round(total / calib_ratio, 3),
+                "calibration_ratio_pre": round(r_pre, 4),
+                "calibration_ratio_post": round(r_post, 4),
+                "calibration_valid": calib_valid,
+                "headline_total_normalized": (
+                    round(total / calib_ratio, 3) if calib_valid else None
+                ),
             }
         )
     )

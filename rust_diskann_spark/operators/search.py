@@ -58,6 +58,57 @@ class ScanBatchTooLarge(ValueError):
 # path). The traversal gain was measured on the 1M snapshot at 32 procs.
 QUANTIZE_MIN_ROWS = 4096
 
+# shard_probes='auto' margin: probe every shard whose routing distance
+# lies within this fraction of the way from the query's BEST shard to its
+# MEDIAN shard (see _probe_mask). 0.25 measured on the 5M/408-shard index:
+# recall tracks scan-all within a point at an order of magnitude fewer
+# shards touched. Overridable for sweeps.
+def _auto_probe_tau() -> float:
+    import os
+
+    return float(os.environ.get("RDS_AUTO_PROBE_TAU", "0.25"))
+
+
+def _probe_mask(dmat: np.ndarray, shard_probes) -> np.ndarray | None:
+    """(n_q, n_shards) boolean probe mask from routing distances, or
+    None for scan-all.
+
+    - int p: the p nearest shards per query (stable (dist, col) order —
+      the historical fixed-probe behavior).
+    - ``'auto'`` (r6 verdict item #3): per-query adaptive probe set —
+      every shard whose routing distance lies within ``tau`` of the way
+      from the query's best shard to its MEDIAN shard. Geometry: the
+      kmeans+cap-split build cuts each natural cluster into several
+      pieces whose routing sets all sit close to a member query (their
+      distances bunch just above d_best), while other clusters' shards
+      sit out near the median. The rule therefore probes "every piece of
+      my home cluster" without knowing the piece count — the thing a
+      fixed p gets wrong as shard counts grow (p=4 at 408 shards
+      measured recall 0.726 vs 0.9794 at p=8, because cap-split makes
+      ~6 pieces per cluster; scale_runs_r6/5m_probed_sweep.json). The
+      probe count adapts per query: easy in-cluster queries touch few
+      shards, boundary queries automatically widen.
+    """
+    n_q, n_s = dmat.shape
+    if isinstance(shard_probes, str):
+        if shard_probes != "auto":
+            raise ValueError(
+                f"shard_probes must be an int, None, or 'auto', "
+                f"got {shard_probes!r}"
+            )
+        d1 = dmat.min(axis=1)
+        med = np.median(dmat, axis=1)
+        thresh = d1 + _auto_probe_tau() * (med - d1)
+        # d1 <= thresh always, so the nearest shard is always probed
+        return dmat <= thresh[:, None]
+    p = int(shard_probes)
+    if p >= n_s:
+        return None
+    order = np.argsort(dmat, axis=1, kind="stable")[:, :p]
+    mask = np.zeros((n_q, n_s), dtype=bool)
+    np.put_along_axis(mask, order, True, axis=1)
+    return mask
+
 
 def _maybe_quant(metric: str, mat: np.ndarray):
     if mat.shape[0] < QUANTIZE_MIN_ROWS:
@@ -323,7 +374,7 @@ def scan_search(
     params: IndexParams,
     k: int,
     beam_width: int = 64,
-    shard_probes: int | None = None,
+    shard_probes: int | str | None = None,
     routing=None,
 ) -> DataFrame:
     """Steady-state search for indexes LARGER than executor broadcast
@@ -387,18 +438,17 @@ def scan_search(
         if routing is None:
             routing = scan_routing_points(scan_side, metric)
         sids = sorted(routing)
-        if shard_probes < len(sids):
+        if isinstance(shard_probes, str) or shard_probes < len(sids):
             qmat = _stack_rows(q_pd["qvec"], dtype)
             pts = [routing[s] for s in sids]
             starts = np.cumsum([0] + [len(p) for p in pts[:-1]]).tolist()
             dmat = _route_dists_from_points(metric, qmat, pts, starts)
-            probe_sets = np.argsort(dmat, axis=1, kind="stable")[
-                :, :shard_probes
-            ]
-            probe_map = {
-                int(s): np.nonzero((probe_sets == j).any(axis=1))[0]
-                for j, s in enumerate(sids)
-            }
+            pmask = _probe_mask(dmat, shard_probes)
+            if pmask is not None:
+                probe_map = {
+                    int(s): np.nonzero(pmask[:, j])[0]
+                    for j, s in enumerate(sids)
+                }
     bc = spark.sparkContext.broadcast((q_pd, probe_map))
 
     def run(index_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -633,7 +683,7 @@ def broadcast_search(
     params: IndexParams,
     k: int,
     beam_width: int = 64,
-    shard_probes: int | None = None,
+    shard_probes: int | str | None = None,
     shards_bc=None,
 ) -> DataFrame:
     """ZERO-shuffle search for indexes that fit executor memory.
@@ -653,7 +703,9 @@ def broadcast_search(
     routing over the Vamana shards). ``None`` scans every shard — the
     exact shard-and-merge semantics (README.md:157); fewer probes trade
     recall for a proportional QPS gain, the knob that matters when
-    num_shards is large. A shard's distance is the MIN over its routing
+    num_shards is large. ``'auto'`` derives the probe set per query from
+    the routing geometry (:func:`_probe_mask`) — use it when the shard
+    count is high and the pieces-per-cluster factor is unknown. A shard's distance is the MIN over its routing
     points — medoid plus the FPS-sampled entry set — not the medoid
     alone: a single medoid misroutes queries near overlap-cell
     boundaries (r2 measured probed4 recall 0.7586 routing on medoids;
@@ -687,12 +739,15 @@ def broadcast_search(
                     f"{shard_list[0][1].shape[1]}, query dim {qmat.shape[1]} "
                     f"(reference lib.rs:636-641)"
                 )
-            # per-query shard routing (IVF-style) or scan-all
-            if shard_probes is not None and shard_probes < len(shard_list):
+            # per-query shard routing (IVF-style, fixed p or 'auto') or
+            # scan-all
+            pmask = None
+            if shard_probes is not None and (
+                isinstance(shard_probes, str)
+                or shard_probes < len(shard_list)
+            ):
                 dmat = _shard_route_dists(metric, qmat, shard_list)
-                probe_sets = np.argsort(dmat, axis=1, kind="stable")[:, :shard_probes]
-            else:
-                probe_sets = None
+                pmask = _probe_mask(dmat, shard_probes)
             # per-shard results accumulate as flat arrays; the global
             # per-query top-k is one lexsort by (query, dist, id) + a
             # rank mask — no per-query Python loops in the hot path
@@ -702,10 +757,10 @@ def broadcast_search(
             for s_idx, (
                 gids, mat, graph, medoid_local, sqn, ent, *rest
             ) in enumerate(shard_list):
-                if probe_sets is None:
+                if pmask is None:
                     sel = np.arange(len(qmat))
                 else:
-                    sel = np.nonzero((probe_sets == s_idx).any(axis=1))[0]
+                    sel = np.nonzero(pmask[:, s_idx])[0]
                     if len(sel) == 0:
                         continue
                 results = vamana.beam_search_batch(

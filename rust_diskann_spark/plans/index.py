@@ -170,13 +170,17 @@ class DiskANNIndex:
         k: int,
         beam_width: int = 64,
         query_blocks: int | None = None,
-        shard_probes: int | None = None,
+        shard_probes: int | str | None = None,
         mode: str = "auto",
     ) -> DataFrame:
         """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist).
         ``shard_probes`` (broadcast + scan modes): IVF-style shard
         routing — search only the p shards whose routing set (medoid +
-        FPS entries) is nearest; None = all (exact shard-and-merge). In
+        FPS entries) is nearest; None = all (exact shard-and-merge);
+        ``'auto'`` adapts the probe set per query from the routing
+        geometry (every shard within a margin of the best — covers all
+        cap-split pieces of the query's home cluster without the caller
+        knowing the piece count; operators/search.py _probe_mask). In
         scan mode each resident shard task receives only the query rows
         that probe it — per-shard work drops to ~n_q * p / n_shards while
         the corpus partitions stay put (the partition-pruning analog for

@@ -344,7 +344,7 @@ def main() -> None:
     # p=4 reaches only ~4/6 of a query's home-cluster rows (measured
     # 0.726 recall) while p=8 covers the whole home cluster.
     probe_counts = [
-        int(x)
+        x.strip() if x.strip() == "auto" else int(x)
         for x in os.environ.get("RDS_SHARD_PROBES", "4").split(",")
         if x.strip()
     ]

@@ -127,13 +127,15 @@ def main() -> None:
 
     tot_rows = sum(r["rows"] for r in steady)
     tot_sec = sum(r["exec_ms"] for r in steady) / 1000.0
-    import numpy as np
+    # shared-host protocol: the same two calibration probes every scale
+    # artifact carries, plus the ratio vs the pinned r4 anchor
+    from bench import CALIB_R4, host_calibration
 
-    a = np.random.rand(1536, 1536).astype(np.float32)
-    t = time.perf_counter()
-    for _ in range(10):
-        a @ a
-    calib = round((time.perf_counter() - t) / 10, 4)
+    calib = host_calibration()
+    calib_ratio = (
+        (calib["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
+        * (calib["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
+    ) ** 0.5
     out_rows = spark.read.parquet(sink).count() if steady else 0
     print(json.dumps({
         "metric": "stream_serve",
@@ -144,9 +146,11 @@ def main() -> None:
         "achieved_qps_in_batch": round(tot_rows / tot_sec, 1) if tot_sec else None,
         "batch_latency_ms_p50": pct(0.50),
         "batch_latency_ms_p95": pct(0.95),
+        "batch_latency_ms_p99": pct(0.99),
         "total_queries_served": tot_rows,
         "results_rows_written": out_rows,
-        "matmul_1536_f32_sec": calib,
+        "host_calibration": calib,
+        "calibration_ratio_vs_r4": round(calib_ratio, 4),
     }))
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -189,6 +189,24 @@ def test_shard_probe_routing(spark, tmp_path):
     # even a single probed shard recovers (nearly) everything
     hits = probed.join(full.select("query_id", "id"), ["query_id", "id"]).count()
     assert hits / full.count() >= 0.9
+    # shard_probes='auto' (r6 verdict item #3): the geometry rule selects
+    # the home cluster's shard(s); on this well-separated corpus auto
+    # must match scan-all recall while an unknown string still raises
+    auto = idx.search_with_dists(q, k=5, beam_width=32, shard_probes="auto")
+    hits_auto = auto.join(
+        full.select("query_id", "id"), ["query_id", "id"]
+    ).count()
+    assert hits_auto / full.count() >= 0.9
+    auto_sc = idx.search_with_dists(
+        q, k=5, beam_width=32, shard_probes="auto", mode="scan"
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, auto_sc.collect())
+    )
+    with pytest.raises(Exception, match="auto"):
+        idx.search_with_dists(
+            q, k=5, beam_width=32, shard_probes="adaptive"
+        ).count()
 
 
 def test_scan_mode_probe_routing(spark, tmp_path):

@@ -4,9 +4,10 @@ that actually holds their neighbors (r2's medoid-only routing measured
 probed4 recall 0.7586 on the 100k demo). Pure numpy — no Spark."""
 
 import numpy as np
+import pytest
 
 from rust_diskann_spark.core import vamana
-from rust_diskann_spark.operators.search import _shard_route_dists
+from rust_diskann_spark.operators.search import _probe_mask, _shard_route_dists
 
 
 def _shard(mat, medoid_local, ent):
@@ -68,6 +69,71 @@ def test_routing_cosine_and_hamming_shapes():
     dh = _shard_route_dists("hamming", qh, shards_h)
     assert dh.shape == (5, 2)
     assert (dh >= 0).all()
+
+
+def test_probe_mask_int_matches_argsort_topp():
+    rng = np.random.default_rng(8)
+    dmat = rng.standard_normal((12, 9)) ** 2
+    mask = _probe_mask(dmat, 3)
+    assert mask.shape == (12, 9)
+    assert (mask.sum(axis=1) == 3).all()
+    order = np.argsort(dmat, axis=1, kind="stable")[:, :3]
+    for qi in range(12):
+        assert set(np.nonzero(mask[qi])[0]) == set(order[qi].tolist())
+    # p >= n_shards -> scan-all sentinel
+    assert _probe_mask(dmat, 9) is None
+    assert _probe_mask(dmat, 50) is None
+
+
+def test_probe_mask_auto_covers_home_cluster_pieces():
+    """r6 verdict item #3: 'auto' probes every cap-split PIECE of the
+    query's home cluster without knowing the piece count. Synthetic
+    geometry: 8 clusters x 6 pieces each; within-cluster routing
+    distances bunch near the best while other clusters sit near the
+    median — auto must select all 6 home pieces and none (or few) of the
+    42 foreign ones, and the per-query probe count must adapt rather
+    than being a fixed p."""
+    rng = np.random.default_rng(9)
+    n_clusters, pieces = 8, 6
+    n_q = 40
+    home = rng.integers(0, n_clusters, n_q)
+    # routing distance model: home pieces ~ U(1, 2); foreign ~ U(50, 60)
+    dmat = rng.uniform(50.0, 60.0, (n_q, n_clusters * pieces))
+    for qi in range(n_q):
+        cols = np.arange(home[qi] * pieces, (home[qi] + 1) * pieces)
+        dmat[qi, cols] = rng.uniform(1.0, 2.0, pieces)
+    mask = _probe_mask(dmat, "auto")
+    assert mask.shape == dmat.shape
+    for qi in range(n_q):
+        cols = set(range(home[qi] * pieces, (home[qi] + 1) * pieces))
+        got = set(np.nonzero(mask[qi])[0].tolist())
+        assert cols <= got, "auto must probe every home-cluster piece"
+        assert len(got) < 12, "auto must not degrade to scan-all"
+    # boundary query (equidistant-ish to two clusters) widens adaptively
+    dmat_b = np.full((1, n_clusters * pieces), 55.0)
+    dmat_b[0, :pieces] = 1.5
+    dmat_b[0, pieces : 2 * pieces] = 1.8
+    got_b = set(np.nonzero(_probe_mask(dmat_b, "auto")[0])[0].tolist())
+    assert set(range(2 * pieces)) <= got_b
+
+
+def test_probe_mask_rejects_unknown_string():
+    with pytest.raises(ValueError, match="'auto'"):
+        _probe_mask(np.ones((2, 3)), "adaptive")
+
+
+def test_probe_mask_auto_always_probes_nearest():
+    # degenerate: all distances equal -> threshold == d1, nearest shard
+    # (all shards, here) still probed; no empty probe sets ever
+    dmat = np.ones((5, 7))
+    mask = _probe_mask(dmat, "auto")
+    assert mask.all(), "equal distances: every shard within margin"
+    # one clear winner, the rest identical
+    dmat2 = np.full((1, 4), 10.0)
+    dmat2[0, 2] = 0.1
+    m2 = _probe_mask(dmat2, "auto")
+    assert m2[0, 2]
+    assert m2.sum() == 1
 
 
 def test_routing_hamming_exact_above_2_53():
