@@ -287,13 +287,19 @@ def main() -> None:
     n_q = queries.count()
 
     # local demo host has 128 GiB: force broadcast (RAM-resident) search
-    # for any index up to 4 GiB even past the conservative auto threshold
+    # for indexes up to 1.5 GiB even past the conservative auto threshold
     # — the reference's own regime is the whole SIFT1M index resident.
-    # RDS_SEARCH_MODE overrides (e.g. =scan to exercise the resident-
-    # corpus/moving-queries steady path at >broadcast scale).
+    # NOT higher: broadcast-mode host footprint is ~(python workers x
+    # index bytes) because every reused worker unpickles its own shard
+    # copy — the r7 first 5M attempt (3.84 GB est, under the old 4 GiB
+    # cutoff) had the JVM OOM-killed at 51 GB RSS during warm. 5M-scale
+    # runs take the scan path (resident corpus, routed queries), which is
+    # the steady architecture past broadcast scale anyway.
+    # RDS_SEARCH_MODE overrides both directions.
     est_bytes = N * (4 * DIM + 4 * idx.meta.max_degree)
     search_mode = os.environ.get(
-        "RDS_SEARCH_MODE", "broadcast" if est_bytes <= (4 << 30) else "auto"
+        "RDS_SEARCH_MODE",
+        "broadcast" if est_bytes <= (3 << 29) else "auto",
     )
     idx = idx.warm(search_mode)
     t0 = time.perf_counter()
