@@ -49,6 +49,9 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("RDS_DRIVER_MEM", "48g"))
+        # warm(broadcast) collects the whole index (~1.7 GB at 1M) —
+        # the 1 GiB default kills the collect mid-warm
+        .config("spark.driver.maxResultSize", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
