@@ -164,9 +164,12 @@ def main() -> None:
         os.environ.get("RDS_BUILD_BEAM", "64" if N <= 200_000 else "128")
     )
     # RDS_PASSES: extra refinement passes over the alpha schedule
-    # (reference lib.rs:1014-1020) — the recall-ceiling knob: more passes
-    # re-prune with the final graph in view, lifting the asymptote the
-    # search beam converges to
+    # (reference lib.rs:1014-1020). MEASURED NEGATIVE at 1M (r7,
+    # scale_runs_r7/1m_passes2_build_sweep.json): passes=2 LOWERS the
+    # high-beam recall asymptote vs passes=1 (0.9986 vs 0.9998 at beam
+    # 512; only the low-beam end improves marginally) — the second
+    # user-alpha re-prune removes long-range edges wide beams rely on.
+    # Keep 1 unless targeting narrow-beam serving
     passes = int(os.environ.get("RDS_PASSES", "1"))
     params = IndexParams(
         max_degree=max_deg, build_beam_width=build_beam, num_shards=n_shards,
