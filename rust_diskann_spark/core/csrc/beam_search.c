@@ -370,7 +370,8 @@ long long build_collect_batch_c(
  *                                         i8 path: quantized queries
  *   out_ids  (nq, k) int64              — -1-padded results
  *   out_dist (nq, k) float32            — squared traversal distances
- *   visit    (n,) int32                 — scratch; used as a bitset
+ *   visit    ceil(n/64) uint64 words    — bitset scratch (passed as the
+ *            int32* parameter for ABI stability; zeroed per query)
  *   ws       (beam+1,) Cand scratch     — caller-allocated
  * Returns the number of queries processed (== nq).
  */
@@ -386,7 +387,9 @@ long long beam_search_batch_c(
     void *ws_scratch, int32_t mode)
 {
     /* mode: 0 = l2 (f32 or i8 codes), 1 = hamming (u64 words),
-     *       2 = dot (f32, distance 1 - a.b) */
+     *       2 = dot (f32, distance 1 - a.b),
+     *       3 = cosine (f32, distance 1 - a.q/|a|; caller pre-normalizes
+     *           the query to unit length) */
     Cand *ws = (Cand *)ws_scratch;
     const uint64_t *hvecs = (const uint64_t *)vectors;
     const uint64_t *hqueries = (const uint64_t *)queries;

@@ -62,11 +62,32 @@ QUANTIZE_MIN_ROWS = 4096
 # lies within this fraction of the way from the query's BEST shard to its
 # MEDIAN shard (see _probe_mask). 0.25 measured on the 5M/408-shard index:
 # recall tracks scan-all within a point at an order of magnitude fewer
-# shards touched. Overridable for sweeps.
-def _auto_probe_tau() -> float:
+# shards touched. Overridable for sweeps via RDS_AUTO_PROBE_TAU — read
+# and validated ONCE at import like the module's other knobs (r7 ADVICE:
+# per-call float() meant a malformed value failed deep inside executor
+# tasks with an opaque error).
+def _read_auto_probe_tau() -> float:
     import os
 
-    return float(os.environ.get("RDS_AUTO_PROBE_TAU", "0.25"))
+    raw = os.environ.get("RDS_AUTO_PROBE_TAU", "0.25")
+    try:
+        tau = float(raw)
+    except ValueError:
+        raise ValueError(
+            f"RDS_AUTO_PROBE_TAU must be a finite float >= 0, got {raw!r}"
+        ) from None
+    if not np.isfinite(tau) or tau < 0:
+        raise ValueError(
+            f"RDS_AUTO_PROBE_TAU must be a finite float >= 0, got {raw!r}"
+        )
+    return tau
+
+
+_AUTO_PROBE_TAU = _read_auto_probe_tau()
+
+
+def _auto_probe_tau() -> float:
+    return _AUTO_PROBE_TAU
 
 
 def _probe_mask(dmat: np.ndarray, shard_probes) -> np.ndarray | None:
@@ -102,6 +123,10 @@ def _probe_mask(dmat: np.ndarray, shard_probes) -> np.ndarray | None:
         # d1 <= thresh always, so the nearest shard is always probed
         return dmat <= thresh[:, None]
     p = int(shard_probes)
+    if p < 1:
+        # an all-False mask would silently return zero results for every
+        # query (r7 ADVICE) — mirror the unknown-string check instead
+        raise ValueError(f"shard_probes must be >= 1, got {shard_probes!r}")
     if p >= n_s:
         return None
     order = np.argsort(dmat, axis=1, kind="stable")[:, :p]

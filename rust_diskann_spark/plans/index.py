@@ -46,8 +46,11 @@ def _parse_mem(s: str) -> int:
     an r6 advisor finding.
     """
     s = s.strip().lower()
-    if s.endswith("b") and len(s) > 1 and not s[-2].isdigit():
-        s = s[:-1]
+    if s.endswith("b") and len(s) > 1:
+        if not s[-2].isdigit():
+            s = s[:-1]  # "mb"/"gb"/... two-letter suffix
+        elif s[:-1].isdigit():
+            s = s[:-1]  # Spark's plain-bytes form "268435456b" (r7 ADVICE)
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if s and s[-1] in mult:
         return int(float(s[:-1]) * mult[s[-1]])
