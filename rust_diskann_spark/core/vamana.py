@@ -752,45 +752,73 @@ def _native_l2_batch(
             )
         return results
     wi, _ = out  # (nq, beam) int64, -1 padded
+    nq = len(qmat)
     q64 = np.asarray(qmat, dtype=np.float64)
     qq = np.einsum("ij,ij->i", q64, q64)
-    rws, cls = np.nonzero(wi >= 0)
-    ids_flat = wi[rws, cls]
-    if metric == "cosine":
-        rows64 = vectors[ids_flat].astype(np.float64)
-        num = np.einsum("ij,ij->i", rows64, q64[rws])
-        denom = np.sqrt(
-            np.einsum("ij,ij->i", rows64, rows64) * qq[rws]
-        )
-        safe = np.where(denom > 0, denom, 1.0)
-        d64 = 1.0 - np.where(denom > 0, num / safe, 0.0)
-    elif metric == "dot":
-        # same f64 re-score formula as the numpy kernel's finalization
-        # (_beam_block's `d64 = 1.0 - num`), so degenerate-regime output
-        # (beam >= n: working set holds every node) is bit-identical
-        rows64 = vectors[ids_flat].astype(np.float64)
-        d64 = 1.0 - np.einsum("ij,ij->i", rows64, q64[rws])
-    else:
-        d64 = np.sqrt(
-            np.maximum(
-                sqnorms[ids_flat]
-                - 2.0 * np.einsum("ij,ij->i", vectors[ids_flat], q64[rws])
-                + qq[rws],
-                0.0,
-            )
-        )
-    nq = len(qmat)
     wd = np.full((nq, beam), np.inf, dtype=np.float64)
     wid = np.full((nq, beam), _PAD_ID, dtype=np.int64)
-    wd[rws, cls] = d64
-    wid[rws, cls] = ids_flat
-    order = np.lexsort((wid, wd))
-    wd = np.take_along_axis(wd, order, axis=1)
-    wid = np.take_along_axis(wid, order, axis=1)
+    # re-score in query BLOCKS: the whole-batch form materialized
+    # (nq*beam, dim) f64 temporaries (~270 MB at 512 queries x beam 512
+    # x 128-d) whose allocation/fault cost swung finalize time 0.8-4.0 s
+    # between identical runs (r8 split); ~64-query blocks keep temps in
+    # the tens of MB. Same einsum form and per-element math — reduction
+    # runs over j within each row, so chunking rows is bit-exact.
+    blk = max(1, (1 << 22) // max(beam * int(qmat.shape[1]), 1))
+    for lo in range(0, nq, blk):
+        hi = min(lo + blk, nq)
+        wi_b = wi[lo:hi]
+        rws, cls = np.nonzero(wi_b >= 0)
+        ids_flat = wi_b[rws, cls]
+        if metric == "cosine":
+            rows64 = vectors[ids_flat].astype(np.float64)
+            num = np.einsum("ij,ij->i", rows64, q64[lo + rws])
+            denom = np.sqrt(
+                np.einsum("ij,ij->i", rows64, rows64) * qq[lo + rws]
+            )
+            safe = np.where(denom > 0, denom, 1.0)
+            d64 = 1.0 - np.where(denom > 0, num / safe, 0.0)
+        elif metric == "dot":
+            # same f64 re-score formula as the numpy kernel's
+            # finalization (_beam_block's `d64 = 1.0 - num`), so
+            # degenerate-regime output (beam >= n: working set holds
+            # every node) is bit-identical
+            rows64 = vectors[ids_flat].astype(np.float64)
+            d64 = 1.0 - np.einsum("ij,ij->i", rows64, q64[lo + rws])
+        else:
+            d64 = np.sqrt(
+                np.maximum(
+                    sqnorms[ids_flat]
+                    - 2.0
+                    * np.einsum("ij,ij->i", vectors[ids_flat], q64[lo + rws])
+                    + qq[lo + rws],
+                    0.0,
+                )
+            )
+        wd[lo + rws, cls] = d64
+        wid[lo + rws, cls] = ids_flat
+    # top-k selection WITHOUT the full (nq, beam) lexsort: partition each
+    # row to its kth-smallest distance, keep everything <= that threshold
+    # (so distance TIES at the boundary stay in), then (dist, id)-lexsort
+    # only the ~k survivors per row — beam/k x less sort+gather work than
+    # sorting whole rows (the finalize was ~29% of beam-512 search time,
+    # r8 single-proc split). Exactness: the kept set is a superset of the
+    # true top-k by (dist, id) — anything outside it has a strictly
+    # larger distance — and the small lexsort applies the same total
+    # order, so output is bit-identical to the full-sort finalize (tests
+    # assert native == numpy-kernel results).
+    kk = min(k, beam)
+    thresh = np.partition(wd, kk - 1, axis=1)[:, kk - 1]
+    r2, c2 = np.nonzero(wd <= thresh[:, None])
+    d_sel, i_sel = wd[r2, c2], wid[r2, c2]
+    order = np.lexsort((i_sel, d_sel, r2))
+    r2, d_sel, i_sel = r2[order], d_sel[order], i_sel[order]
+    real = i_sel != _PAD_ID  # pads (dist inf) survive only in underfull rows
+    r2, d_sel, i_sel = r2[real], d_sel[real], i_sel[real]
+    starts = np.searchsorted(r2, np.arange(nq + 1))
     results = []
     for i in range(nq):
-        real = wid[i] != _PAD_ID
-        results.append((wid[i][real][:k], wd[i][real][:k]))
+        s, e = starts[i], min(starts[i + 1], starts[i] + k)
+        results.append((i_sel[s:e], d_sel[s:e]))
     return results
 
 

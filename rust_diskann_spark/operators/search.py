@@ -90,6 +90,36 @@ def _auto_probe_tau() -> float:
     return _AUTO_PROBE_TAU
 
 
+# RDS_PROFILE_DIR: when set, every broadcast_search worker appends one
+# JSON line per Arrow batch to <dir>/search_profile_<pid>.jsonl with a
+# per-component time budget (stack/route/kernel/flat/merge/df + wall).
+# The r7 verdict's measured ~2x full-path-vs-kernel gap at beam 512 is
+# Spark-mechanics overhead; this is the stopwatch that attributes it.
+# Timer reads always run (ns-scale next to ms-scale batches); file IO
+# only when enabled.
+_PROFILE_DIR = None
+
+
+def _read_profile_dir():
+    import os
+
+    return os.environ.get("RDS_PROFILE_DIR") or None
+
+
+_PROFILE_DIR = _read_profile_dir()
+
+
+def _profile_emit(rec: dict) -> None:
+    import json
+    import os
+
+    path = os.path.join(
+        _PROFILE_DIR, f"search_profile_{os.getpid()}.jsonl"
+    )
+    with open(path, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+
+
 def _probe_mask(dmat: np.ndarray, shard_probes) -> np.ndarray | None:
     """(n_q, n_shards) boolean probe mask from routing distances, or
     None for scan-all.
@@ -231,10 +261,13 @@ def _shard_search_pdf(
     kernel shared by the cogrouped and scan search paths): materialize the
     shard as numpy, run the lockstep batch kernel, map local ordinals back
     to global ids."""
+    from time import perf_counter as _pc
+
     if len(index_pdf) == 0 or len(q_pdf) == 0:
         return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
             {"query_id": "int64", "id": "int64", "dist": "float64"}
         )
+    _t0 = _pc()
     ids = index_pdf["id"].to_numpy().astype(np.int64, copy=False)
     order = np.argsort(ids, kind="stable")
     gids = ids[order]
@@ -263,15 +296,32 @@ def _shard_search_pdf(
             "entry",
         ).astype(np.int64)
     sqn = vamana.sq_norms(mat) if metric in ("l2", "cosine") else None
+    quant = _maybe_quant(metric, mat)
+    _t_decode = _pc()
     results = vamana.beam_search_batch(
         mat, graph, metric, medoid_local, qmat, per_shard_k, beam_width,
-        sqnorms=sqn, entries=ent, quant=_maybe_quant(metric, mat),
+        sqnorms=sqn, entries=ent, quant=quant,
     )
+    _t_kernel = _pc()
     r_lens, out_i, out_d = _results_flat(results, gids)
     out_q = np.repeat(
         q_pdf["query_id"].to_numpy().astype(np.int64, copy=False), r_lens
     )
-    return pd.DataFrame({"query_id": out_q, "id": out_i, "dist": out_d})
+    out = pd.DataFrame({"query_id": out_q, "id": out_i, "dist": out_d})
+    if _PROFILE_DIR:
+        _profile_emit(
+            {
+                "path": "shard_task",
+                "t0": _t0,
+                "n_rows": int(len(index_pdf)),
+                "n_q": int(len(q_pdf)),
+                "decode": round(_t_decode - _t0, 6),
+                "kernel": round(_t_kernel - _t_decode, 6),
+                "emit": round(_pc() - _t_kernel, 6),
+                "wall": round(_pc() - _t0, 6),
+            }
+        )
+    return out
 
 
 def search(
@@ -289,7 +339,9 @@ def search(
     ``index_vectors``: (shard, id, vec); ``index_graph``: (shard, id,
     neighbors, medoid) — as produced by operators.build / sources.index_store.
     """
-    per_shard_k = max(k, beam_width if params.num_shards > 1 else k)
+    # k' = k: see scan_search — README.md:157 needs only k' >= k, and
+    # per-shard rows past rank k can never survive the global rank filter
+    per_shard_k = k
 
     # shards are 0..num_shards-1 by construction (build.assign_shards) —
     # synthesize the replication list instead of re-scanning the index
@@ -425,7 +477,11 @@ def scan_search(
     r4 ADVICE).
     """
     spark = queries.sparkSession
-    per_shard_k = max(k, beam_width if params.num_shards > 1 else k)
+    # per-shard k' = k: README.md:157 only requires k' >= k, and any row
+    # with global rank < k has per-shard rank < k under the same
+    # (dist, id) order — beam-sized k' inflated the merge shuffle by
+    # beam/k (51x at k=10 / beam 512) for rows the rank filter drops
+    per_shard_k = k
     metric = params.metric
     dtype = np.int64 if metric == "hamming" else np.float32
     q_pd = (
@@ -751,12 +807,16 @@ def broadcast_search(
         )
 
     def run(batches):
+        from time import perf_counter as _pc
+
         local = bc.value
         for q_pdf in batches:
             if len(q_pdf) == 0:
                 continue
+            _t0 = _pc()
             qmat = _stack_rows(q_pdf["qvec"], dtype)
             qids = q_pdf["query_id"].to_numpy().astype(np.int64, copy=False)
+            _t_stack = _pc()
             shard_list = list(local.values())
             if shard_list and qmat.shape[1] != shard_list[0][1].shape[1]:
                 raise ValueError(
@@ -773,11 +833,13 @@ def broadcast_search(
             ):
                 dmat = _shard_route_dists(metric, qmat, shard_list)
                 pmask = _probe_mask(dmat, shard_probes)
+            _t_route = _pc()
             # per-shard results accumulate as flat arrays; the global
             # per-query top-k is one lexsort by (query, dist, id) + a
             # rank mask — no per-query Python loops in the hot path
             # (r3 verdict item #1: the list-extend/sort assembly was a
             # measurable slice of the per-batch serving overhead)
+            t_kernel = t_flat = 0.0
             parts_q, parts_i, parts_d = [], [], []
             for s_idx, (
                 gids, mat, graph, medoid_local, sqn, ent, *rest
@@ -788,15 +850,26 @@ def broadcast_search(
                     sel = np.nonzero(pmask[:, s_idx])[0]
                     if len(sel) == 0:
                         continue
+                _tk = _pc()
+                # per-shard return count is k, NOT max(k, beam): merging
+                # each shard's (dist, id)-ordered top-k preserves the
+                # global top-k exactly (any global rank-<k row has
+                # per-shard rank <k under the same total order), while
+                # beam-sized returns put beam/k x more rows through the
+                # flat/merge stage (51x at k=10 / beam 512)
                 results = vamana.beam_search_batch(
                     mat, graph, metric, medoid_local, qmat[sel],
-                    max(k, beam_width), beam_width, sqnorms=sqn, entries=ent,
+                    k, beam_width, sqnorms=sqn, entries=ent,
                     quant=rest[0] if rest else None,
                 )
+                t_kernel += _pc() - _tk
+                _tf = _pc()
                 r_lens, flat_i, flat_d = _results_flat(results, gids)
                 parts_q.append(np.repeat(sel, r_lens))
                 parts_i.append(flat_i)
                 parts_d.append(flat_d)
+                t_flat += _pc() - _tf
+            _t_shards = _pc()
             qa = np.concatenate(parts_q) if parts_q else np.empty(0, np.int64)
             ia = np.concatenate(parts_i) if parts_i else np.empty(0, np.int64)
             da = np.concatenate(parts_d) if parts_d else np.empty(0, np.float64)
@@ -806,7 +879,8 @@ def broadcast_search(
             starts = np.searchsorted(qs, np.arange(len(qmat)))
             ranks = np.arange(len(qs), dtype=np.int64) - starts[qs]
             m = ranks < k
-            yield pd.DataFrame(
+            _t_merge = _pc()
+            out = pd.DataFrame(
                 {
                     "query_id": qids[qs[m]],
                     "rank": (ranks[m] + 1).astype(np.int32),
@@ -814,6 +888,22 @@ def broadcast_search(
                     "dist": ds[m],
                 }
             )
+            if _PROFILE_DIR:
+                _profile_emit(
+                    {
+                        "t0": _t0,
+                        "n_q": int(len(qmat)),
+                        "n_shards": len(shard_list),
+                        "stack": round(_t_stack - _t0, 6),
+                        "route": round(_t_route - _t_stack, 6),
+                        "kernel": round(t_kernel, 6),
+                        "flat": round(t_flat, 6),
+                        "merge": round(_t_merge - _t_shards, 6),
+                        "df": round(_pc() - _t_merge, 6),
+                        "wall": round(_pc() - _t0, 6),
+                    }
+                )
+            yield out
 
     q = queries.select(
         F.col("query_id").cast("long").alias("query_id"), F.col("qvec")

