@@ -73,6 +73,32 @@ def main() -> None:
 
     calib_pre = host_calibration()
 
+    # in-run light probe (r8): a background thread times the single-proc
+    # 1536^2 matmul every ~10 s while batches run — numpy's BLAS releases
+    # the GIL and the probe costs one core for ~15 ms, so it doesn't
+    # perturb the measurement the way the 8-proc probe would. Whole-run
+    # pre/post gating lost every r8 sweep point to storms arriving
+    # mid-run; per-batch clean flags recover the quiet batches instead
+    # of discarding the run (the streaming analog of scale_demo's
+    # slice gating).
+    import threading
+
+    import numpy as np
+
+    probes: list[tuple[float, float]] = []
+    stop_evt = threading.Event()
+
+    def _probe_loop() -> None:
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((1536, 1536)).astype(np.float32)
+        while not stop_evt.is_set():
+            t0 = time.perf_counter()
+            (a @ a).sum()
+            probes.append((time.time(), time.perf_counter() - t0))
+            stop_evt.wait(10.0)
+
+    threading.Thread(target=_probe_loop, daemon=True).start()
+
     idx = open_index(spark, IDX)
     idx.warm("broadcast")
 
@@ -128,6 +154,25 @@ def main() -> None:
             progresses[int(d["batchId"])] = d
     query.stop()
 
+    stop_evt.set()
+    # per-batch clean flag: a batch is clean when every light probe that
+    # fired during its execution window stayed under the 1-thread gate
+    # (~2x the pinned r4 matmul anchor by default — big storms measured
+    # 4-10x on this probe; pure-contention storms the 1-thread probe
+    # can't see are still caught by the pre/post 8-proc probes below)
+    gate_1t = float(os.environ.get("RDS_PROBE_1T_GATE", "2.0"))
+    anchor_1t = CALIB_R4["matmul_1536_f32_sec"]
+
+    def batch_clean(t_end_epoch: float, exec_ms: int) -> bool | None:
+        lo = t_end_epoch - exec_ms / 1000.0 - 5.0
+        hi = t_end_epoch + 5.0
+        seen = [sec for (t, sec) in probes if lo <= t <= hi]
+        if not seen:
+            return None  # no probe landed in the window
+        return max(seen) <= gate_1t * anchor_1t
+
+    from datetime import datetime, timezone
+
     rows = []
     for bid in sorted(progresses):
         d = progresses[bid]
@@ -135,15 +180,39 @@ def main() -> None:
         dur = d.get("durationMs", {}) or {}
         exec_ms = int(dur.get("triggerExecution") or 0)
         if n > 0 and exec_ms > 0:
-            rows.append({"batch": bid, "rows": n, "exec_ms": exec_ms})
+            clean = None
+            ts = d.get("timestamp")
+            if ts:
+                try:
+                    t_end = datetime.fromisoformat(
+                        ts.replace("Z", "+00:00")
+                    ).astimezone(timezone.utc).timestamp() + exec_ms / 1000.0
+                    clean = batch_clean(t_end, exec_ms)
+                except ValueError:
+                    pass
+            rows.append(
+                {"batch": bid, "rows": n, "exec_ms": exec_ms, "clean": clean}
+            )
     steady = [r for r in rows if r["batch"] >= WARM_BATCHES]
+    clean_rows = [r for r in steady if r["clean"]]
     lat = sorted(r["exec_ms"] for r in steady)
+    lat_clean = sorted(r["exec_ms"] for r in clean_rows)
 
-    def pct(p):
-        return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else None
+    def pct(p, series=None):
+        s = lat if series is None else series
+        return s[min(len(s) - 1, int(p * len(s)))] if s else None
 
     tot_rows = sum(r["rows"] for r in steady)
     tot_sec = sum(r["exec_ms"] for r in steady) / 1000.0
+    clean_qps = (
+        round(
+            sum(r["rows"] for r in clean_rows)
+            / (sum(r["exec_ms"] for r in clean_rows) / 1000.0),
+            1,
+        )
+        if clean_rows
+        else None
+    )
     # shared-host protocol: pre+post calibration probes and a validity
     # flag — a steady number is only trustworthy when the window held
     calib = host_calibration()
@@ -156,10 +225,17 @@ def main() -> None:
         "offered_qps": RATE,
         "beam_width": BEAM,
         "n_batches_measured": len(steady),
+        "n_batches_clean": len(clean_rows),
         "achieved_qps_in_batch": round(tot_rows / tot_sec, 1) if tot_sec else None,
+        "achieved_qps_clean_batches": clean_qps,
         "batch_latency_ms_p50": pct(0.50),
         "batch_latency_ms_p95": pct(0.95),
         "batch_latency_ms_p99": pct(0.99),
+        "clean_latency_ms_p50": pct(0.50, lat_clean),
+        "clean_latency_ms_p95": pct(0.95, lat_clean),
+        "clean_latency_ms_p99": pct(0.99, lat_clean),
+        "probe_1t_gate": gate_1t,
+        "probe_1t_max_sec": round(max((s for _, s in probes), default=0), 4),
         "total_queries_served": tot_rows,
         "results_rows_written": out_rows,
         "host_calibration_pre": calib_pre,
