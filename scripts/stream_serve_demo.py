@@ -95,7 +95,10 @@ def main() -> None:
             t0 = time.perf_counter()
             (a @ a).sum()
             probes.append((time.time(), time.perf_counter() - t0))
-            stop_evt.wait(10.0)
+            # 3 s cadence: batches run ~2 s, so every batch window holds
+            # at least one probe (10 s left most batches unjudged);
+            # ~15 ms per probe = ~0.5% of one core
+            stop_evt.wait(3.0)
 
     threading.Thread(target=_probe_loop, daemon=True).start()
 
@@ -236,6 +239,13 @@ def main() -> None:
         "clean_latency_ms_p99": pct(0.99, lat_clean),
         "probe_1t_gate": gate_1t,
         "probe_1t_max_sec": round(max((s for _, s in probes), default=0), 4),
+        # full probe series (relative t, sec): self-contention from our
+        # own saturated workers reads ~2-3x the anchor on this probe;
+        # real storms read 18-60x — the series lets a reader re-derive
+        # clean flags at any gate post-hoc
+        "probe_1t_series": [
+            [round(t - probes[0][0], 1), round(s, 4)] for t, s in probes
+        ],
         "total_queries_served": tot_rows,
         "results_rows_written": out_rows,
         "host_calibration_pre": calib_pre,
