@@ -188,8 +188,12 @@ def main() -> None:
     )
     # keyed by (N, mode): two demo configs running in the same tmpdir must
     # not clobber each other's index (observed: a 5M build rmtree'd the
-    # 1M index mid-session and forced a rebuild)
-    idx_path = os.path.join(tempfile.gettempdir(), f"rds_scale_idx_{N}_{MODE}")
+    # 1M index mid-session and forced a rebuild). RDS_IDX_TAG suffixes the
+    # path for same-(N,mode) config experiments (e.g. shard-count sweeps).
+    idx_path = os.path.join(
+        tempfile.gettempdir(),
+        f"rds_scale_idx_{N}_{MODE}{os.environ.get('RDS_IDX_TAG', '')}",
+    )
     # RDS_REUSE_IDX=1: reopen an existing index dir instead of rebuilding —
     # for sweeping search-side knobs (beam width) without paying the build
     # again. build_sec is reported as null in that case.
@@ -283,6 +287,35 @@ def main() -> None:
     # snapshot BEFORE search so the number is the build's worst task, not
     # the (longer-lived) steady windows'; reuse mode reports None
     build_max_task_s = max_task_sec() if build_s else None
+
+    # RDS_BUILD_ONLY=1: stop after the build (shard-count / build-param
+    # experiments measure search separately, e.g. via probe5m.py)
+    if os.environ.get("RDS_BUILD_ONLY") == "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_demo_build_only",
+                    "n_vectors": N,
+                    "idx_path": idx_path,
+                    "build_sec": round(build_s, 2) if build_s else None,
+                    "build_vecs_per_sec": (
+                        round(N / build_s, 1) if build_s else None
+                    ),
+                    "build_max_task_sec": (
+                        round(build_max_task_s, 1) if build_max_task_s else None
+                    ),
+                    "num_shards_stored": idx.meta.num_shards,
+                    "params": {
+                        "max_degree": max_deg,
+                        "build_beam_width": build_beam,
+                        "num_shards": n_shards,
+                        "shard_by": params.shard_by,
+                    },
+                }
+            )
+        )
+        spark.stop()
+        return
 
     queries = base.filter(F.col("id") % (N // Q) == 0).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec")
