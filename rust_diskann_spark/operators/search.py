@@ -248,6 +248,63 @@ def _results_flat(results, gids: np.ndarray):
     return lens, gids[flat_ids], flat_d
 
 
+def _empty_result_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
+        {"query_id": "int64", "id": "int64", "dist": "float64"}
+    )
+
+
+def _search_decoded(
+    tup,
+    q_pdf: pd.DataFrame,
+    metric: str,
+    dtype,
+    per_shard_k: int,
+    beam_width: int,
+    t0: float | None = None,
+    source: str = "arrow",
+) -> pd.DataFrame:
+    """Kernel + emit over an already-decoded shard tuple — shared by the
+    Arrow-decode path (:func:`_shard_search_pdf`) and the mmap cache path
+    (:func:`cached_scan_search`)."""
+    from time import perf_counter as _pc
+
+    gids, mat, graph, medoid_local, sqn, ent, quant = tup
+    qmat = _stack_rows(q_pdf["qvec"], dtype)
+    if qmat.shape[1] != mat.shape[1]:
+        raise ValueError(
+            f"query dimension mismatch: index dim {mat.shape[1]}, "
+            f"query dim {qmat.shape[1]} (reference lib.rs:636-641)"
+        )
+    _t_decode = _pc()
+    results = vamana.beam_search_batch(
+        mat, graph, metric, medoid_local, qmat, per_shard_k, beam_width,
+        sqnorms=sqn, entries=ent, quant=quant,
+    )
+    _t_kernel = _pc()
+    r_lens, out_i, out_d = _results_flat(results, gids)
+    out_q = np.repeat(
+        q_pdf["query_id"].to_numpy().astype(np.int64, copy=False), r_lens
+    )
+    out = pd.DataFrame({"query_id": out_q, "id": out_i, "dist": out_d})
+    if _PROFILE_DIR:
+        _t0 = t0 if t0 is not None else _t_decode
+        _profile_emit(
+            {
+                "path": "shard_task",
+                "source": source,
+                "t0": _t0,
+                "n_rows": int(len(gids)),
+                "n_q": int(len(q_pdf)),
+                "decode": round(_t_decode - _t0, 6),
+                "kernel": round(_t_kernel - _t_decode, 6),
+                "emit": round(_pc() - _t_kernel, 6),
+                "wall": round(_pc() - _t0, 6),
+            }
+        )
+    return out
+
+
 def _shard_search_pdf(
     index_pdf: pd.DataFrame,
     q_pdf: pd.DataFrame,
@@ -264,20 +321,12 @@ def _shard_search_pdf(
     from time import perf_counter as _pc
 
     if len(index_pdf) == 0 or len(q_pdf) == 0:
-        return pd.DataFrame({"query_id": [], "id": [], "dist": []}).astype(
-            {"query_id": "int64", "id": "int64", "dist": "float64"}
-        )
+        return _empty_result_pdf()
     _t0 = _pc()
     ids = index_pdf["id"].to_numpy().astype(np.int64, copy=False)
     order = np.argsort(ids, kind="stable")
     gids = ids[order]
     mat = _stack_rows(index_pdf["vec"], dtype)[order]
-    qmat = _stack_rows(q_pdf["qvec"], dtype)
-    if qmat.shape[1] != mat.shape[1]:
-        raise ValueError(
-            f"query dimension mismatch: index dim {mat.shape[1]}, "
-            f"query dim {qmat.shape[1]} (reference lib.rs:636-641)"
-        )
     nbrs = index_pdf["neighbors"].to_numpy()
     lens = np.fromiter((len(x) for x in nbrs), np.int64, count=len(nbrs))
     flat_nb = (
@@ -297,31 +346,10 @@ def _shard_search_pdf(
         ).astype(np.int64)
     sqn = vamana.sq_norms(mat) if metric in ("l2", "cosine") else None
     quant = _maybe_quant(metric, mat)
-    _t_decode = _pc()
-    results = vamana.beam_search_batch(
-        mat, graph, metric, medoid_local, qmat, per_shard_k, beam_width,
-        sqnorms=sqn, entries=ent, quant=quant,
+    return _search_decoded(
+        (gids, mat, graph, medoid_local, sqn, ent, quant),
+        q_pdf, metric, dtype, per_shard_k, beam_width, t0=_t0,
     )
-    _t_kernel = _pc()
-    r_lens, out_i, out_d = _results_flat(results, gids)
-    out_q = np.repeat(
-        q_pdf["query_id"].to_numpy().astype(np.int64, copy=False), r_lens
-    )
-    out = pd.DataFrame({"query_id": out_q, "id": out_i, "dist": out_d})
-    if _PROFILE_DIR:
-        _profile_emit(
-            {
-                "path": "shard_task",
-                "t0": _t0,
-                "n_rows": int(len(index_pdf)),
-                "n_q": int(len(q_pdf)),
-                "decode": round(_t_decode - _t0, 6),
-                "kernel": round(_t_kernel - _t_decode, 6),
-                "emit": round(_pc() - _t_kernel, 6),
-                "wall": round(_pc() - _t0, 6),
-            }
-        )
-    return out
 
 
 def search(
@@ -445,6 +473,173 @@ def scan_routing_points(
     return out
 
 
+def _collect_query_batch(queries: DataFrame) -> pd.DataFrame:
+    """Capped driver-side collect of a scan-mode query batch. The collect
+    itself is the gate — ``limit(cap+1)``, evaluated exactly once (r3
+    ADVICE: a separate pre-count double-evaluates the lineage)."""
+    q_pd = (
+        queries.select(
+            F.col("query_id").cast("long").alias("query_id"), F.col("qvec")
+        )
+        .limit(SCAN_QUERY_COLLECT_CAP + 1)
+        .toPandas()
+    )
+    if len(q_pd) > SCAN_QUERY_COLLECT_CAP:
+        raise ScanBatchTooLarge(
+            f"scan_search query batch exceeds the collect cap "
+            f"{SCAN_QUERY_COLLECT_CAP}: batches this large should use the "
+            "cogrouped search (mode='cogroup'), which never collects"
+        )
+    return q_pd
+
+
+def _probe_map_from_routing(
+    q_pd: pd.DataFrame, routing: dict, metric: str, dtype, shard_probes
+) -> dict[int, np.ndarray] | None:
+    """{shard: row positions of the queries probing it} from a routing
+    dict, or None for scan-all — the driver-side half of probed scan
+    search, shared by the legacy and cached paths."""
+    sids = sorted(routing)
+    if not isinstance(shard_probes, str) and shard_probes >= len(sids):
+        return None
+    qmat = _stack_rows(q_pd["qvec"], dtype)
+    pts = [routing[s] for s in sids]
+    starts = np.cumsum([0] + [len(p) for p in pts[:-1]]).tolist()
+    dmat = _route_dists_from_points(metric, qmat, pts, starts)
+    pmask = _probe_mask(dmat, shard_probes)
+    if pmask is None:
+        return None
+    return {int(s): np.nonzero(pmask[:, j])[0] for j, s in enumerate(sids)}
+
+
+def cached_scan_routing(
+    skeleton: DataFrame, index_path: str, token: str, root: str, metric: str
+) -> dict[int, np.ndarray]:
+    """{shard: routing-point matrix} via one job over the shard-id
+    skeleton. Each task resolves its shard through the mmap cache
+    (populating it on first touch — this job doubles as the cache warm)
+    and emits only the medoid + FPS entry vectors; O(shards x entry_set)
+    rows reach the driver, independent of corpus size."""
+    from rust_diskann_spark.operators import shard_cache
+
+    # f32 round-trips through DOUBLE exactly; hamming words must stay
+    # integral (a float64 trip zeroes low bits of words >= 2^53 — r3)
+    elem_sql = "BIGINT" if metric == "hamming" else "DOUBLE"
+    dtype = np.int64 if metric == "hamming" else np.float32
+
+    def emit_routing(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["shard"].iloc[0])
+        tup = shard_cache.get_or_decode(root, token, sid, index_path, metric)
+        if tup is shard_cache.EMPTY:
+            return pd.DataFrame({"shard": [], "vec": []}).astype(
+                {"shard": "int32"}
+            )
+        gids, mat, graph, medoid_local, sqn, ent, quant = tup
+        ids = [int(medoid_local)]
+        if ent is not None:
+            ids.extend(int(e) for e in ent)
+        pts = np.asarray(mat[np.array(sorted(set(ids)), dtype=np.int64)])
+        return pd.DataFrame(
+            {"shard": np.full(len(pts), sid, dtype=np.int32),
+             "vec": list(pts)}
+        )
+
+    rows = (
+        skeleton.groupBy("shard")
+        .applyInPandas(emit_routing, f"shard INT, vec ARRAY<{elem_sql}>")
+        .toPandas()
+    )
+    out: dict[int, np.ndarray] = {}
+    for sid, grp in rows.groupby("shard"):
+        out[int(sid)] = _stack_rows(grp["vec"], dtype)
+    return out
+
+
+def cached_scan_search(
+    queries: DataFrame,
+    skeleton: DataFrame,
+    index_path: str,
+    token: str,
+    root: str,
+    params: IndexParams,
+    k: int,
+    beam_width: int = 64,
+    shard_probes: int | str | None = None,
+    routing=None,
+) -> DataFrame:
+    """:func:`scan_search` with residency moved from a JVM-persisted
+    corpus to the node-local mmap shard cache (operators/shard_cache.py).
+
+    The dispatch side is a SKELETON of shard ids — one int row per shard,
+    hash-partitioned once — so per batch the only bytes that move are the
+    broadcast query batch in and the O(q·k·shards) candidate rows out:
+    corpus bytes cross the JVM->Python boundary zero times in steady
+    state (the legacy path re-shipped and re-decoded every shard
+    partition every batch; decode alone was 28.5% of 5M shard-task wall).
+    A cache miss self-heals executor-side from the index parquet via
+    partition pruning, which is also what makes this correct on a
+    multi-node cluster with per-node caches.
+
+    ``skeleton`` may be a DataFrame or a zero-arg callable returning one,
+    resolved only after the query batch passes the collect gate — same
+    deferred-builder contract as :func:`scan_search`'s scan side (r4
+    ADVICE: an oversized auto-mode batch must not leave unused pinned
+    state behind)."""
+    spark = queries.sparkSession
+    per_shard_k = k  # README.md:157 needs only k' >= k (see scan_search)
+    metric = params.metric
+    dtype = np.int64 if metric == "hamming" else np.float32
+    q_pd = _collect_query_batch(queries)
+    if callable(skeleton):
+        skeleton = skeleton()
+
+    probe_map: dict[int, np.ndarray] | None = None
+    if shard_probes is not None and len(q_pd):
+        if callable(routing):
+            routing = routing()
+        if routing is None:
+            routing = cached_scan_routing(
+                skeleton, index_path, token, root, metric
+            )
+        probe_map = _probe_map_from_routing(
+            q_pd, routing, metric, dtype, shard_probes
+        )
+    bc = spark.sparkContext.broadcast((q_pd, probe_map))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from rust_diskann_spark.operators import shard_cache
+        from time import perf_counter as _pc
+
+        _t0 = _pc()
+        sid = int(pdf["shard"].iloc[0])
+        q_all, pmap = bc.value
+        q_sel = q_all
+        if pmap is not None:
+            sel = pmap.get(sid)
+            q_sel = q_all.iloc[sel if sel is not None else []]
+        if len(q_sel) == 0:
+            return _empty_result_pdf()
+        tup = shard_cache.get_or_decode(root, token, sid, index_path, metric)
+        if tup is shard_cache.EMPTY:
+            return _empty_result_pdf()
+        return _search_decoded(
+            tup, q_sel, metric, dtype, per_shard_k, beam_width, t0=_t0,
+            source="cache",
+        )
+
+    candidates = skeleton.groupBy("shard").applyInPandas(
+        run, schema=RESULT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )
+
+
 def scan_search(
     queries: DataFrame,
     scan_side: DataFrame,
@@ -484,19 +679,7 @@ def scan_search(
     per_shard_k = k
     metric = params.metric
     dtype = np.int64 if metric == "hamming" else np.float32
-    q_pd = (
-        queries.select(
-            F.col("query_id").cast("long").alias("query_id"), F.col("qvec")
-        )
-        .limit(SCAN_QUERY_COLLECT_CAP + 1)
-        .toPandas()
-    )
-    if len(q_pd) > SCAN_QUERY_COLLECT_CAP:
-        raise ScanBatchTooLarge(
-            f"scan_search query batch exceeds the collect cap "
-            f"{SCAN_QUERY_COLLECT_CAP}: batches this large should use the "
-            "cogrouped search (mode='cogroup'), which never collects"
-        )
+    q_pd = _collect_query_batch(queries)
     if callable(scan_side):
         scan_side = scan_side()
     has_entries = "entries" in scan_side.columns
@@ -518,18 +701,9 @@ def scan_search(
             routing = routing()
         if routing is None:
             routing = scan_routing_points(scan_side, metric)
-        sids = sorted(routing)
-        if isinstance(shard_probes, str) or shard_probes < len(sids):
-            qmat = _stack_rows(q_pd["qvec"], dtype)
-            pts = [routing[s] for s in sids]
-            starts = np.cumsum([0] + [len(p) for p in pts[:-1]]).tolist()
-            dmat = _route_dists_from_points(metric, qmat, pts, starts)
-            pmask = _probe_mask(dmat, shard_probes)
-            if pmask is not None:
-                probe_map = {
-                    int(s): np.nonzero(pmask[:, j])[0]
-                    for j, s in enumerate(sids)
-                }
+        probe_map = _probe_map_from_routing(
+            q_pd, routing, metric, dtype, shard_probes
+        )
     bc = spark.sparkContext.broadcast((q_pd, probe_map))
 
     def run(index_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -21,6 +21,7 @@ from rust_diskann_spark.operators import build as build_ops
 from rust_diskann_spark.operators import sampling
 from rust_diskann_spark.operators import medoid as medoid_ops
 from rust_diskann_spark.operators import search as search_ops
+from rust_diskann_spark.operators import shard_cache
 from rust_diskann_spark.params import IndexParams
 from rust_diskann_spark.sources import index_store, vectors as vector_src
 
@@ -107,19 +108,29 @@ class DiskANNIndex:
     meta: index_store.IndexMetadata
     vectors: DataFrame  # (shard, id, vec)
     graph: DataFrame  # (shard, id, neighbors, medoid)
+    # on-disk index directory; None for a handle over derived frames.
+    # File-backed handles serve scan mode through the node-local mmap
+    # shard cache (operators/shard_cache.py) — the DiskANN-style
+    # disk-resident path
+    path: str | None = None
     # lazily-built broadcast of the materialized shards (broadcast search
     # mode) — built once, reused by every query batch; sound because an
     # index is immutable once built (reference has no insert-after-build,
     # SURVEY §2.5)
     _shards_bc: object = None
-    # lazily-built scan side (scan search mode): (vectors ⋈ graph)
-    # hash-partitioned by shard and persisted — the one-time corpus
-    # shuffle that lets every later query batch run with zero corpus
-    # movement
+    # lazily-built scan side (LEGACY scan search mode, non-file-backed
+    # indexes or RDS_SCAN_CACHE=0): (vectors ⋈ graph) hash-partitioned by
+    # shard and persisted — the one-time corpus shuffle that lets every
+    # later query batch run with zero corpus movement
     _scan_side: object = None
     # lazily-collected {shard: routing-point matrix} for probed scan
     # search — O(shards x entry_set) driver memory, one tiny job ever
     _scan_routing: object = None
+    # cached-scan state: the shard-id skeleton DataFrame (one int row per
+    # shard — the dispatch side once residency lives in the mmap cache)
+    # and the index's content-derived cache token
+    _skeleton: object = None
+    _cache_token: str | None = None
 
     def _broadcast_shards(self):
         if self._shards_bc is None:
@@ -140,10 +151,47 @@ class DiskANNIndex:
 
     def _get_scan_routing(self):
         if self._scan_routing is None:
-            self._scan_routing = search_ops.scan_routing_points(
-                self._get_scan_side(), self.meta.metric
-            )
+            if self._use_scan_cache():
+                self._scan_routing = search_ops.cached_scan_routing(
+                    self._get_skeleton(), self.path, self._get_cache_token(),
+                    shard_cache.cache_root(), self.meta.metric,
+                )
+            else:
+                self._scan_routing = search_ops.scan_routing_points(
+                    self._get_scan_side(), self.meta.metric
+                )
         return self._scan_routing
+
+    def _use_scan_cache(self) -> bool:
+        """Scan mode rides the node-local mmap shard cache when the index
+        is file-backed (the only way a worker-side cache miss can
+        self-heal via partition-pruned parquet reads). ``RDS_SCAN_CACHE=0``
+        forces the legacy JVM-persisted scan side — read per call so a
+        session can flip it."""
+        return self.path is not None and os.environ.get(
+            "RDS_SCAN_CACHE", "1"
+        ) != "0"
+
+    def _get_cache_token(self) -> str:
+        if self._cache_token is None:
+            self._cache_token = shard_cache.index_token(self.path)
+        return self._cache_token
+
+    def _get_skeleton(self):
+        """Tiny persisted (shard) frame, hash-partitioned so the cached
+        scan's groupBy reuses the partitioning with no exchange and one
+        task per shard."""
+        if self._skeleton is None:
+            n = max(self.meta.num_shards, 1)
+            sk = (
+                self.spark.range(n)
+                .select(F.col("id").cast("int").alias("shard"))
+                .repartition(n, "shard")
+                .persist()
+            )
+            sk.count()
+            self._skeleton = sk
+        return self._skeleton
 
     def _fits_broadcast(self) -> bool:
         """Auto-mode gate: footprint estimate vs the memory-aware byte
@@ -255,6 +303,20 @@ class DiskANNIndex:
             # cogrouped search (which never collects) instead of OOMing the
             # driver; explicit scan mode propagates the error.
             try:
+                if self._use_scan_cache():
+                    # file-backed index: residency is the node-local mmap
+                    # shard cache; the dispatch side is the shard-id
+                    # skeleton, so no corpus bytes ever shuffle or persist
+                    # in the JVM (operators/shard_cache.py)
+                    return search_ops.cached_scan_search(
+                        queries, self._get_skeleton, self.path,
+                        self._get_cache_token(), shard_cache.cache_root(),
+                        self.params, k, beam_width,
+                        shard_probes=shard_probes,
+                        routing=self._get_scan_routing
+                        if shard_probes is not None
+                        else None,
+                    )
                 # pass the scan-side BUILDER, not the built side: scan_search
                 # gates the query batch first, so an oversized batch falls
                 # through to cogroup without paying the one-time corpus
@@ -347,7 +409,13 @@ class DiskANNIndex:
                 beam_width=1, shards_bc=self._shards_bc,
             ).count()
         elif mode in ("auto", "scan"):
-            self._get_scan_side()
+            if self._use_scan_cache():
+                # the routing job decodes every shard through
+                # get_or_decode, so one pass populates the whole node-local
+                # cache AND yields the probe-routing points
+                self._get_scan_routing()
+            else:
+                self._get_scan_side()
         else:
             self.vectors = self.vectors.persist()
             self.graph = self.graph.persist()
@@ -366,6 +434,14 @@ class DiskANNIndex:
             self._scan_side.unpersist()
             self._scan_side = None
         self._scan_routing = None
+        if self._skeleton is not None:
+            self._skeleton.unpersist()
+            self._skeleton = None
+        if self._cache_token is not None:
+            shard_cache.drop_index_cache(
+                shard_cache.cache_root(), self._cache_token
+            )
+            self._cache_token = None
         if self._shards_bc is not None:
             try:
                 self._shards_bc.unpersist(blocking=False)
@@ -497,7 +573,9 @@ def build_index(
         ),
     )
     index_store.write_metadata(path, meta)
-    return DiskANNIndex(spark=spark, meta=meta, vectors=v_df, graph=g_df)
+    return DiskANNIndex(
+        spark=spark, meta=meta, vectors=v_df, graph=g_df, path=path
+    )
 
 
 def open_index(
@@ -508,4 +586,6 @@ def open_index(
     meta = index_store.read_metadata(path)
     index_store.validate_metadata(meta, meta.elem_type, metric)
     v_df, g_df = index_store.read_index_tables(spark, path)
-    return DiskANNIndex(spark=spark, meta=meta, vectors=v_df, graph=g_df)
+    return DiskANNIndex(
+        spark=spark, meta=meta, vectors=v_df, graph=g_df, path=path
+    )

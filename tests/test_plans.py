@@ -148,11 +148,12 @@ def test_exact_knn_huge_query_side_not_broadcast(spark):
     assert plan.count("BroadcastExchange") <= 1
 
 
-def test_scan_mode_matches_broadcast_mode(spark, sf_dir):
+def test_scan_mode_matches_broadcast_mode(spark, sf_dir, monkeypatch):
     """Scan search (resident corpus, broadcast queries — the >memory
-    steady-state path) must return exactly the broadcast-mode rows, and
-    its candidate stage must read the persisted pre-partitioned side (an
-    InMemoryTableScan below the applyInPandas, not a fresh corpus join)."""
+    steady-state path) must return exactly the broadcast-mode rows in
+    BOTH residency flavors: the default mmap shard cache (skeleton
+    dispatch — no corpus scan in the plan) and the legacy JVM-persisted
+    side (InMemoryTableScan below the applyInPandas)."""
     import tempfile, shutil, os as _os
     from rust_diskann_spark import IndexParams, build_index
 
@@ -172,8 +173,12 @@ def test_scan_mode_matches_broadcast_mode(spark, sf_dir):
     rows_b = sorted(map(tuple, res_b.collect()))
     rows_s = sorted(map(tuple, res_s.collect()))
     assert rows_b == rows_s
-    plan = res_s._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setenv("RDS_SCAN_CACHE", "0")
+    res_l = idx.search_with_dists(queries, k=5, beam_width=64, mode="scan")
+    assert sorted(map(tuple, res_l.collect())) == rows_b
+    plan = res_l._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan  # reads the persisted scan side
+    idx.close()
     shutil.rmtree(path, ignore_errors=True)
 
 
@@ -266,7 +271,8 @@ def test_auto_mode_memory_aware_broadcast_gate(spark, tmp_path):
         res_scan = sorted(map(tuple, idx_scan.search_with_dists(
             q, k=3, beam_width=16, mode="auto").collect()))
         assert idx_scan._shards_bc is None  # never broadcast
-        assert idx_scan._scan_side is not None  # scan path chosen
+        assert idx_scan._skeleton is not None  # cached scan path chosen
+        assert idx_scan._scan_side is None  # no JVM-persisted corpus
         idx_scan.close()
     finally:
         spark.conf.unset(plans_index.BROADCAST_THRESHOLD_CONF)
@@ -318,8 +324,10 @@ def test_auto_mode_oversized_batch_falls_back_to_cogroup(spark, sf_dir, monkeypa
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan  # routed to cogroup, not scan
     # r4 ADVICE: the rerouted batch must NOT have paid the one-time corpus
-    # shuffle — the scan side is built only after the batch passes the gate
+    # shuffle — scan-side state is built only after the batch passes the
+    # gate (the skeleton builder is likewise deferred on the cached path)
     assert idx._scan_side is None
+    assert idx._skeleton is None
     assert sorted(map(tuple, res.collect())) == expected
     with _pytest.raises(search_ops.ScanBatchTooLarge):
         idx.search_with_dists(queries, k=3, beam_width=32, mode="scan")
@@ -383,15 +391,21 @@ def test_warm_rejects_unknown_mode(spark, tmp_path):
         idx.warm("broadcst")
 
 
-def test_close_releases_cached_state(spark, tmp_path):
-    """r4 verdict lifecycle item: close() must unpersist the scan side,
-    destroy the shard broadcast, and unpersist cogroup-warm persists so a
-    session cycling many handles doesn't accumulate cached tables. The
-    handle stays usable afterwards (lazy caches rebuild)."""
+def test_close_releases_cached_state(spark, tmp_path, monkeypatch):
+    """r4 verdict lifecycle item: close() must unpersist the scan-side
+    state (mmap shard cache + skeleton on the default path, the persisted
+    corpus side on the legacy path), destroy the shard broadcast, and
+    unpersist cogroup-warm persists so a session cycling many handles
+    doesn't accumulate cached tables. The handle stays usable afterwards
+    (lazy caches rebuild)."""
+    import os as _os
+
     import numpy as np
 
     from rust_diskann_spark import IndexParams, build_index
+    from rust_diskann_spark.operators import shard_cache
 
+    monkeypatch.setenv("RDS_SCAN_CACHE_DIR", str(tmp_path / "cache"))
     rng = np.random.default_rng(4)
     rows = [(i, rng.standard_normal(4).astype("float32").tolist())
             for i in range(60)]
@@ -401,7 +415,15 @@ def test_close_releases_cached_state(spark, tmp_path):
         params=IndexParams(max_degree=8, build_beam_width=16, num_shards=2,
                            seed=4),
     )
-    idx.warm("scan")
+    idx.warm("scan")  # default: mmap cache populated, skeleton pinned
+    sk_df = idx._skeleton
+    token_dir = _os.path.join(shard_cache.cache_root(), idx._cache_token)
+    assert sk_df is not None and sk_df.storageLevel.useMemory
+    assert _os.path.isdir(token_dir)
+    assert idx._scan_side is None  # no JVM-persisted corpus on this path
+    monkeypatch.setenv("RDS_SCAN_CACHE", "0")
+    idx.warm("scan")  # legacy flavor: persisted (vectors ⋈ graph) side
+    monkeypatch.delenv("RDS_SCAN_CACHE")
     scan_df = idx._scan_side
     assert scan_df is not None and scan_df.storageLevel.useMemory
     idx.warm("broadcast")
@@ -412,6 +434,9 @@ def test_close_releases_cached_state(spark, tmp_path):
 
     idx.close()
     assert idx._scan_side is None and idx._shards_bc is None
+    assert idx._skeleton is None and idx._cache_token is None
+    assert not _os.path.exists(token_dir)
+    assert not sk_df.storageLevel.useMemory
     assert not scan_df.storageLevel.useMemory
     assert not idx.vectors.storageLevel.useMemory
     assert not idx.graph.storageLevel.useMemory

@@ -1,0 +1,173 @@
+"""Scan-mode mmap shard cache (operators/shard_cache.py): the cached
+path must be bit-identical to broadcast and legacy scan search, self-heal
+from the index parquet on cache loss, and release its disk footprint on
+close()."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_diskann_spark import IndexParams, build_index, open_index
+from rust_diskann_spark.operators import shard_cache
+
+
+def _corpus(spark, n=400, dim=8, seed=3):
+    return spark.range(n).select(
+        F.col("id"),
+        F.array(
+            *[F.round(F.randn(seed=seed + i) * 10, 3) for i in range(dim)]
+        ).cast("array<float>").alias("vec"),
+    )
+
+
+def _queries(spark, corpus, every=40):
+    return corpus.filter(F.col("id") % every == 0).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+
+
+def _rows(df):
+    return sorted(
+        (int(r["query_id"]), int(r["rank"]), int(r["id"]), round(r["dist"], 9))
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def idx_path(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("RDS_SCAN_CACHE_DIR", str(tmp_path / "cache"))
+    path = str(tmp_path / "idx")
+    base = _corpus(spark)
+    build_index(
+        base, path,
+        IndexParams(max_degree=8, build_beam_width=16, num_shards=4,
+                    seed=11, shard_by="kmeans"),
+    )
+    return path
+
+
+def test_cached_scan_matches_broadcast_and_legacy(spark, idx_path,
+                                                  monkeypatch):
+    q = _queries(spark, _corpus(spark))
+    idx = open_index(spark, idx_path)
+    res_bc = _rows(idx.search_with_dists(q, k=5, beam_width=32,
+                                         mode="broadcast"))
+    res_cached = _rows(idx.search_with_dists(q, k=5, beam_width=32,
+                                             mode="scan"))
+    assert idx._skeleton is not None  # cached path was taken
+    assert idx._scan_side is None  # no JVM-persisted corpus
+    monkeypatch.setenv("RDS_SCAN_CACHE", "0")
+    res_legacy = _rows(idx.search_with_dists(q, k=5, beam_width=32,
+                                             mode="scan"))
+    assert idx._scan_side is not None  # legacy path was taken
+    assert res_cached == res_bc == res_legacy
+    idx.close()
+
+
+def test_cached_scan_plan_ships_no_corpus(spark, idx_path):
+    """The cached plan's corpus side is the shard-id skeleton: the index
+    parquet must not appear in the scan-mode physical plan (workers read
+    it directly, outside Spark's scan operators)."""
+    q = _queries(spark, _corpus(spark))
+    idx = open_index(spark, idx_path)
+    plan = idx.search_with_dists(
+        q, k=5, beam_width=32, mode="scan"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "vectors.parquet" not in plan
+    assert "graph.parquet" not in plan
+    idx.close()
+
+
+def test_cached_probed_matches_legacy_probed(spark, idx_path, monkeypatch):
+    q = _queries(spark, _corpus(spark))
+    idx = open_index(spark, idx_path)
+    for probes in (2, "auto"):
+        got_cached = _rows(idx.search_with_dists(
+            q, k=5, beam_width=32, shard_probes=probes, mode="scan"
+        ))
+        monkeypatch.setenv("RDS_SCAN_CACHE", "0")
+        idx_legacy = open_index(spark, idx_path)
+        got_legacy = _rows(idx_legacy.search_with_dists(
+            q, k=5, beam_width=32, shard_probes=probes, mode="scan"
+        ))
+        idx_legacy.close()
+        monkeypatch.delenv("RDS_SCAN_CACHE")
+        assert got_cached == got_legacy
+    idx.close()
+
+
+def test_cache_miss_self_heals_from_parquet(spark, idx_path):
+    """Deleting the cache tree mid-session (node restart, tmp cleanup)
+    must re-decode from the index parquet with identical results."""
+    q = _queries(spark, _corpus(spark))
+    idx = open_index(spark, idx_path)
+    before = _rows(idx.search_with_dists(q, k=5, beam_width=32, mode="scan"))
+    token_dir = os.path.join(
+        shard_cache.cache_root(), idx._get_cache_token()
+    )
+    assert os.path.isdir(token_dir)
+    shutil.rmtree(token_dir)
+    after = _rows(idx.search_with_dists(q, k=5, beam_width=32, mode="scan"))
+    assert before == after
+    idx.close()
+
+
+def test_warm_scan_populates_cache_and_close_drops_it(spark, idx_path):
+    idx = open_index(spark, idx_path)
+    idx.warm("scan")
+    token_dir = os.path.join(
+        shard_cache.cache_root(), idx._get_cache_token()
+    )
+    # one entry per shard, each a completed (renamed) directory
+    shard_dirs = [d for d in os.listdir(token_dir) if d.startswith("shard_")]
+    assert len(shard_dirs) == idx.meta.num_shards
+    assert not any(".tmp." in d for d in shard_dirs)
+    # routing collected by the same warm job
+    assert set(idx._scan_routing) == set(range(idx.meta.num_shards))
+    idx.close()
+    assert not os.path.exists(token_dir)
+    # handle stays usable after close: caches rebuild on next use
+    q = _queries(spark, _corpus(spark))
+    assert len(_rows(idx.search_with_dists(q, k=5, beam_width=32,
+                                           mode="scan"))) > 0
+    idx.close()
+
+
+def test_cached_scan_hamming_roundtrip(spark, tmp_path, monkeypatch):
+    """Hamming vectors are int64 words; the cache and routing must keep
+    them integral end-to-end (a float64 trip corrupts words >= 2^53)."""
+    monkeypatch.setenv("RDS_SCAN_CACHE_DIR", str(tmp_path / "hcache"))
+    big = (1 << 62) + 12345  # survives only integer round trips
+    base = spark.range(64).select(
+        F.col("id"),
+        F.array(
+            (F.lit(big) + F.col("id")).cast("long"),
+            F.xxhash64(F.col("id")),
+        ).alias("vec"),
+    )
+    path = str(tmp_path / "hidx")
+    build_index(
+        base, path,
+        IndexParams(max_degree=6, build_beam_width=12, num_shards=2,
+                    metric="hamming", seed=5, shard_by="hash"),
+    )
+    idx = open_index(spark, path)
+    q = base.limit(4).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    res_scan = _rows(idx.search_with_dists(q, k=3, beam_width=16,
+                                           mode="scan"))
+    res_bc = _rows(idx.search_with_dists(q, k=3, beam_width=16,
+                                         mode="broadcast"))
+    assert res_scan == res_bc
+    # every query's own vector is its 0-distance top hit
+    top = {(r[0], r[1]): (r[2], r[3]) for r in res_scan}
+    for qid in (0, 1, 2, 3):
+        assert top[(qid, 1)] == (qid, 0.0)
+    res_probed = _rows(idx.search_with_dists(
+        q, k=3, beam_width=16, shard_probes=2, mode="scan"
+    ))
+    assert res_probed == res_scan  # p == num_shards -> scan-all
+    idx.close()
