@@ -134,11 +134,27 @@ class DiskANNIndex:
 
     def _broadcast_shards(self):
         if self._shards_bc is None:
-            self._shards_bc = self.spark.sparkContext.broadcast(
-                search_ops.materialize_shards(
-                    self.vectors, self.graph, self.params
+            if self._use_scan_cache() and not self._fits_broadcast():
+                # explicit broadcast mode on an over-budget file-backed
+                # index: serve the shard map from the node-local mmap
+                # cache instead of a real broadcast — one page-cache copy
+                # per node rather than one unpickled copy PER WORKER (the
+                # r7 5M attempt OOM-killed the JVM at 51 GB RSS exactly
+                # this way). Populate the cache with the distributed
+                # routing job first (one shard per task) so the first
+                # query batch doesn't have 32 workers racing to decode
+                # the same shards.
+                self._get_scan_routing()
+                self._shards_bc = shard_cache.MmapShardSource(
+                    shard_cache.cache_root(), self._get_cache_token(),
+                    self.path, self.meta.metric, self.meta.num_shards,
                 )
-            )
+            else:
+                self._shards_bc = self.spark.sparkContext.broadcast(
+                    search_ops.materialize_shards(
+                        self.vectors, self.graph, self.params
+                    )
+                )
         return self._shards_bc
 
     def _get_scan_side(self):

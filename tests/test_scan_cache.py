@@ -135,6 +135,37 @@ def test_warm_scan_populates_cache_and_close_drops_it(spark, idx_path):
     idx.close()
 
 
+def test_over_budget_broadcast_rides_mmap_source(spark, idx_path):
+    """Explicit broadcast mode on an over-budget file-backed index must
+    serve from the mmap shard map (one page-cache copy per node) instead
+    of a real per-worker broadcast, with identical rows."""
+    from rust_diskann_spark.plans import index as plans_index
+
+    q = _queries(spark, _corpus(spark))
+    idx_ref = open_index(spark, idx_path)
+    expected = _rows(idx_ref.search_with_dists(q, k=5, beam_width=32,
+                                               mode="broadcast"))
+    assert not isinstance(idx_ref._shards_bc, shard_cache.MmapShardSource)
+    idx_ref.close()
+
+    spark.conf.set(plans_index.BROADCAST_THRESHOLD_CONF, "1k")
+    try:
+        idx = open_index(spark, idx_path)
+        for probes in (None, "auto"):
+            got = _rows(idx.search_with_dists(
+                q, k=5, beam_width=32, shard_probes=probes, mode="broadcast"
+            ))
+            if probes is None:
+                assert got == expected
+            else:
+                assert len(got) == len(expected)
+        assert isinstance(idx._shards_bc, shard_cache.MmapShardSource)
+        idx.close()
+        assert idx._shards_bc is None
+    finally:
+        spark.conf.unset(plans_index.BROADCAST_THRESHOLD_CONF)
+
+
 def test_cached_scan_hamming_roundtrip(spark, tmp_path, monkeypatch):
     """Hamming vectors are int64 words; the cache and routing must keep
     them integral end-to-end (a float64 trip corrupts words >= 2^53)."""
