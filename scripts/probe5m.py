@@ -35,6 +35,10 @@ BATCHES = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "2000,10000").
 BEAM = int(os.environ.get("RDS_BEAM", "512"))
 PROBES = os.environ.get("RDS_SHARD_PROBES", "auto")
 PROBES = PROBES if PROBES == "auto" else int(PROBES)
+# RDS_PROBE_MODE: "scan" (default — shard tasks, merge shuffle) or
+# "broadcast" (query tasks, local finalize; over-budget file-backed
+# indexes ride the mmap shard map, so this is now legal at 5M)
+MODE = os.environ.get("RDS_PROBE_MODE", "scan")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 WINDOWS = int(os.environ.get("RDS_STEADY_WINDOWS", "2"))
 GATE = float(os.environ.get("RDS_SLICE_GATE", "1.25"))
@@ -67,7 +71,7 @@ def main() -> None:
 
     idx = open_index(spark, IDX)
     t0 = time.perf_counter()
-    idx.warm("scan")
+    idx.warm(MODE)
     warm_s = time.perf_counter() - t0
 
     # exact GT over a seeded random 500-query sample (the distributed
@@ -166,7 +170,7 @@ def main() -> None:
             def run_once(count_only=True):
                 res = idx.search_with_dists(
                     queries, k=K, beam_width=beam, shard_probes=PROBES,
-                    mode="scan",
+                    mode=MODE,
                 )
                 return res.count() if count_only else res
 
@@ -208,6 +212,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "probe5m",
+                "mode": MODE,
                 "index": IDX,
                 "beam_width": BEAM,
                 "shard_probes": str(PROBES),
