@@ -35,6 +35,12 @@ IDX = sys.argv[1] if len(sys.argv) > 1 else "/tmp/rds_scale_idx_1000000_merged"
 SECONDS = int(sys.argv[2]) if len(sys.argv) > 2 else 90
 RATE = int(os.environ.get("RDS_STREAM_RATE", "4000"))
 BEAM = int(os.environ.get("RDS_BEAM", "128"))
+# shard routing for multi-shard indexes (e.g. the 5M/408 disk index,
+# served via the mmap shard map once it exceeds the broadcast budget):
+# int p, 'auto', or unset = scan-all (right for the 1M merged index's
+# single shard)
+PROBES = os.environ.get("RDS_STREAM_PROBES") or None
+PROBES = int(PROBES) if PROBES and PROBES != "auto" else PROBES
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 K = 10
 WARM_BATCHES = 3  # first triggers pay worker/broadcast warm-up
@@ -140,7 +146,7 @@ def main() -> None:
     query = ann_search_stream(
         q_stream,
         lambda q: idx.search_with_dists(
-            q, k=K, beam_width=BEAM, mode="broadcast"
+            q, k=K, beam_width=BEAM, mode="broadcast", shard_probes=PROBES
         ),
         sink_path=sink,
         checkpoint_path=ckpt,
@@ -227,6 +233,7 @@ def main() -> None:
         "index": IDX,
         "offered_qps": RATE,
         "beam_width": BEAM,
+        "shard_probes": str(PROBES) if PROBES is not None else None,
         "n_batches_measured": len(steady),
         "n_batches_clean": len(clean_rows),
         "achieved_qps_in_batch": round(tot_rows / tot_sec, 1) if tot_sec else None,
