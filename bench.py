@@ -61,9 +61,25 @@ def host_calibration() -> dict:
     with mp.Pool(8) as pool:
         pool.map(_calib_child, range(8))
     mp8 = time.perf_counter() - t0
+    # memory-BANDWIDTH probe (r8 finding): within one session, beam-128
+    # steady QPS on an identical index+code dropped 15.1k -> 8.3k while
+    # both matmul probes read "quiet" — beam search is gather/bandwidth
+    # bound, matmuls are compute bound, so a bandwidth-phase slowdown
+    # (VM memory compaction after large-heap JVM cycles) is invisible to
+    # them. A 256 MB copy is the cheapest signal that moves with it.
+    # Additive only: the r4 anchor predates it, so the legacy two-probe
+    # ratio stays the normalization of record and this is diagnostic.
+    buf = np.empty(64 << 20, dtype=np.float32)
+    buf[:] = 1.0
+    bw_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = buf.copy()
+        bw_best = min(bw_best, time.perf_counter() - t0)
     return {
         "matmul_1536_f32_sec": round(best, 4),
         "mp8_matmul_sec": round(mp8, 4),
+        "stream_copy256mb_sec": round(bw_best, 4),
     }
 
 
