@@ -38,6 +38,48 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # contention) to avoid over-trusting either.
 CALIB_R4 = {"matmul_1536_f32_sec": 0.0215, "mp8_matmul_sec": 0.1564}
 
+# Pinned memory-BANDWIDTH anchor (r9). r8 proved the compute-only gate is
+# blind to bandwidth-degraded host phases: same index + same code measured
+# beam-128 steady at 15.1k q/s one hour and 8.3k the next while both matmul
+# probes sat inside the 1.25 gate (scale_runs_r8/5m_mmap_cache_summary.md).
+# Beam search is gather-bound; the 256 MB stream-copy probe is the axis
+# that actually moves. Anchor = the r8 quiet-window value (BENCH_r08
+# pre/post agreed at 0.0690/0.0699), re-verified r9 in a gated window.
+# Gate: 1.5x — self-measured under a deliberate 32-core load the probe
+# reads 1.6-3.9x anchor, while quiet-window jitter stays well under 1.3x.
+CALIB_BW_ANCHOR = 0.069
+BW_GATE = float(os.environ.get("RDS_BW_GATE", "1.5"))
+
+
+def compute_ratio(calib: dict) -> float:
+    """Geometric-mean compute ratio vs the pinned r4 anchor (the
+    cross-round normalization of record; predates the bandwidth probe)."""
+    return (
+        (calib["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
+        * (calib["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
+    ) ** 0.5
+
+
+def bw_ratio(calib: dict) -> float | None:
+    """Bandwidth ratio vs the pinned r8-quiet anchor; None when the probe
+    is absent (pre-r8 artifacts)."""
+    v = calib.get("stream_copy256mb_sec")
+    return None if v is None else v / CALIB_BW_ANCHOR
+
+
+def probes_quiet(
+    calib: dict, gate: float, bw_gate: float | None = None
+) -> bool:
+    """One probe set passes the gate iff BOTH axes are quiet: compute
+    (matmul geomean vs r4) within `gate` AND bandwidth (stream copy vs the
+    r8 anchor) within `bw_gate`. Slice-validity decisions across
+    bench/scale_demo/probe5m/stream_serve/quiet_run all route through
+    here so no harness can silently regress to compute-only gating."""
+    if bw_gate is None:
+        bw_gate = BW_GATE
+    rb = bw_ratio(calib)
+    return compute_ratio(calib) <= gate and rb is not None and rb <= bw_gate
+
 
 def host_calibration() -> dict:
     """Fixed micro-benchmarks timed alongside the queries so cross-round
@@ -219,15 +261,16 @@ def main() -> None:
     # BENCH_r{N} then knows to fall back to the raw number + scale runs.
     calib_post = host_calibration()
 
-    def _ratio(c: dict) -> float:
-        return (
-            (c["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
-            * (c["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
-        ) ** 0.5
-
-    r_pre, r_post = _ratio(calib), _ratio(calib_post)
+    r_pre, r_post = compute_ratio(calib), compute_ratio(calib_post)
     calib_ratio = (r_pre * r_post) ** 0.5
-    calib_valid = max(r_pre, r_post) / min(r_pre, r_post) <= 1.5
+    # r9: the validity flag requires the bandwidth axis quiet too — r8's
+    # +11% drift on untouched bandwidth-bound queries passed the old
+    # compute-agreement check (VERDICT r8 "What's wrong" #1)
+    bw_pre, bw_post = bw_ratio(calib), bw_ratio(calib_post)
+    calib_valid = (
+        max(r_pre, r_post) / min(r_pre, r_post) <= 1.5
+        and max(bw_pre, bw_post) <= BW_GATE
+    )
     print(
         json.dumps(
             {
@@ -244,6 +287,9 @@ def main() -> None:
                 "calibration_ratio_vs_r4": round(calib_ratio, 4),
                 "calibration_ratio_pre": round(r_pre, 4),
                 "calibration_ratio_post": round(r_post, 4),
+                "bandwidth_ratio_pre": round(bw_pre, 4),
+                "bandwidth_ratio_post": round(bw_post, 4),
+                "bandwidth_gate": BW_GATE,
                 "calibration_valid": calib_valid,
                 "headline_total_normalized": (
                     round(total / calib_ratio, 3) if calib_valid else None

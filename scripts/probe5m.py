@@ -59,15 +59,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from bench import CALIB_R4, host_calibration
+    from bench import BW_GATE, bw_ratio, compute_ratio, host_calibration
     from rust_diskann_spark import open_index
 
-    def ratio() -> float:
+    def ratios() -> tuple[float, float]:
+        """(compute ratio vs r4 anchor, bandwidth ratio vs r8 anchor) —
+        slices are valid only when BOTH axes are quiet (r9; the compute
+        probe is blind to the bandwidth-degraded phases that halve
+        gather-bound throughput)."""
         c = host_calibration()
-        return (
-            (c["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
-            * (c["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
-        ) ** 0.5
+        return compute_ratio(c), bw_ratio(c)
 
     idx = open_index(spark, IDX)
     t0 = time.perf_counter()
@@ -177,22 +178,27 @@ def main() -> None:
             n_res = run_once()  # warm this (batch, beam)
             assert n_res == n_actual * K, (n_res, n_actual)
             slices = []
-            r_pre = ratio()
+            r_pre, bw_pre = ratios()
             for _ in range(WINDOWS):
                 t = time.perf_counter()
                 run_once()
                 dt = time.perf_counter() - t
-                r_post = ratio()
+                r_post, bw_post = ratios()
                 slices.append(
                     {
                         "sec": round(dt, 3),
                         "qps": round(n_actual / dt, 1),
                         "ratio_pre": round(r_pre, 4),
                         "ratio_post": round(r_post, 4),
-                        "valid": max(r_pre, r_post) <= GATE,
+                        "bw_ratio_pre": round(bw_pre, 4),
+                        "bw_ratio_post": round(bw_post, 4),
+                        "valid": (
+                            max(r_pre, r_post) <= GATE
+                            and max(bw_pre, bw_post) <= BW_GATE
+                        ),
                     }
                 )
-                r_pre = r_post
+                r_pre, bw_pre = r_post, bw_post
             valid = [s for s in slices if s["valid"]]
             best = max((s["qps"] for s in valid), default=None)
             rows.append(

@@ -28,21 +28,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import CALIB_R4, host_calibration  # noqa: E402
+from bench import BW_GATE, bw_ratio, compute_ratio, host_calibration  # noqa: E402
 
 
-def probe_ratio() -> tuple[float, dict]:
+def probe_ratio() -> tuple[float, float, dict]:
     calib = host_calibration()
-    ratio = (
-        (calib["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
-        * (calib["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
-    ) ** 0.5
-    return ratio, calib
+    return compute_ratio(calib), bw_ratio(calib), calib
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", type=float, default=1.25)
+    # bandwidth axis (r9): compute-only gating provably fires during
+    # bandwidth-degraded phases that halve gather-bound throughput
+    # (scale_runs_r8/5m_mmap_cache_summary.md "calibration blind spot")
+    ap.add_argument("--bw-gate", type=float, default=BW_GATE)
     ap.add_argument("--max-wait", type=float, default=7200.0)
     ap.add_argument("--sleep", type=float, default=90.0)
     ap.add_argument("--attempts-log", default="quiet_run_attempts.jsonl")
@@ -56,17 +56,20 @@ def main() -> int:
 
     t0 = time.time()
     while True:
-        ratio, calib = probe_ratio()
+        ratio, bwr, calib = probe_ratio()
         rec = {
             "t": round(time.time() - t0, 1),
             "ratio_vs_r4": round(ratio, 4),
+            "bw_ratio": round(bwr, 4),
             "calib": calib,
             "gate": args.gate,
-            "fired": ratio <= args.gate,
+            "bw_gate": args.bw_gate,
+            "fired": ratio <= args.gate and bwr <= args.bw_gate,
         }
         with open(args.attempts_log, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         print(f"[quiet_run] ratio={ratio:.3f} gate={args.gate} "
+              f"bw={bwr:.3f} bw_gate={args.bw_gate} "
               f"{'FIRING' if rec['fired'] else 'waiting'}", file=sys.stderr)
         if rec["fired"]:
             return subprocess.call(cmd)

@@ -360,37 +360,44 @@ def main() -> None:
     # WINDOW_BATCHES back-to-back batches and take the best window:
     # sustained load amortizes the per-job cost exactly as a real serving
     # loop would. Each window is a gated SLICE (see SLICE_GATE).
-    from bench import CALIB_R4, host_calibration
+    from bench import BW_GATE, bw_ratio, compute_ratio, host_calibration
 
-    def calib_ratio_of(c: dict) -> float:
-        return (
-            (c["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
-            * (c["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
-        ) ** 0.5
+    calib_ratio_of = compute_ratio
 
     def steady_slices(measure) -> list[dict]:
         """STEADY_WINDOWS gated slices of `measure` (returns per-batch
         seconds): each slice carries pre/post calibration ratios and is
         valid when both sit within SLICE_GATE — a storm arriving mid-run
         invalidates only the slices it touched (r7: whole 60-90 s sweeps
-        were lost to post-window storms)."""
+        were lost to post-window storms). r9: validity also requires the
+        memory-bandwidth probe within BW_GATE of the r8-quiet anchor —
+        compute-only gating passed during bandwidth-degraded phases that
+        halved gather-bound QPS (15.1k->8.3k same code+index,
+        scale_runs_r8/5m_mmap_cache_summary.md)."""
         out = []
-        ratio_pre = calib_ratio_of(host_calibration())
+        pre = host_calibration()
         for _ in range(STEADY_WINDOWS):
             t0 = time.perf_counter()
             for _ in range(WINDOW_BATCHES):
                 measure()
             per_batch = (time.perf_counter() - t0) / WINDOW_BATCHES
-            ratio_post = calib_ratio_of(host_calibration())
+            post = host_calibration()
+            ratio_pre, ratio_post = compute_ratio(pre), compute_ratio(post)
+            bw_pre, bw_post = bw_ratio(pre), bw_ratio(post)
             out.append(
                 {
                     "sec_per_batch": round(per_batch, 4),
                     "ratio_pre": round(ratio_pre, 4),
                     "ratio_post": round(ratio_post, 4),
-                    "valid": max(ratio_pre, ratio_post) <= SLICE_GATE,
+                    "bw_ratio_pre": round(bw_pre, 4),
+                    "bw_ratio_post": round(bw_post, 4),
+                    "valid": (
+                        max(ratio_pre, ratio_post) <= SLICE_GATE
+                        and max(bw_pre, bw_post) <= BW_GATE
+                    ),
                 }
             )
-            ratio_pre = ratio_post  # post probe doubles as next pre
+            pre = post  # post probe doubles as next pre
         return out
 
     def best_slice(slices: list[dict]) -> tuple[float, bool]:

@@ -69,13 +69,9 @@ def main() -> None:
     # and its latencies are upper bounds only — pre+post probes with a
     # validity flag make the artifact self-gating like bench.py (r7
     # verdict item #3)
-    from bench import CALIB_R4, host_calibration
+    from bench import BW_GATE, bw_ratio, compute_ratio, host_calibration
 
-    def ratio_of(c: dict) -> float:
-        return (
-            (c["matmul_1536_f32_sec"] / CALIB_R4["matmul_1536_f32_sec"])
-            * (c["mp8_matmul_sec"] / CALIB_R4["mp8_matmul_sec"])
-        ) ** 0.5
+    ratio_of = compute_ratio
 
     calib_pre = host_calibration()
 
@@ -259,7 +255,15 @@ def main() -> None:
         "host_calibration_post": calib,
         "calibration_ratio_pre": round(ratio_pre, 4),
         "calibration_ratio_post": round(ratio_post, 4),
-        "calibration_valid": max(ratio_pre, ratio_post) <= gate,
+        # r9: the whole-run validity flag also requires the memory-
+        # bandwidth axis quiet (pre+post vs the r8-quiet anchor) — the
+        # compute probes alone passed during bandwidth-degraded phases
+        "bw_ratio_pre": round(bw_ratio(calib_pre), 4),
+        "bw_ratio_post": round(bw_ratio(calib), 4),
+        "calibration_valid": (
+            max(ratio_pre, ratio_post) <= gate
+            and max(bw_ratio(calib_pre), bw_ratio(calib)) <= BW_GATE
+        ),
     }))
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
