@@ -64,13 +64,32 @@ def cache_root() -> str:
 
 
 def index_token(index_path: str) -> str:
-    """Content-derived cache key for one on-disk index."""
+    """Content-derived cache key for one on-disk index.
+
+    Folds in a listing digest (relative path, size, mtime) of BOTH
+    parquet directories, not just metadata.json: replacing
+    vectors.parquet/graph.parquet in place without rewriting the
+    metadata (manual copy/repair) must change the token, or stale
+    cached shards would be served silently (r8 ADVICE). Stat-only —
+    no file bytes are read — and computed once per driver-side handle
+    (plans/index.py memoizes it), so the walk cost is negligible."""
     meta_path = os.path.join(index_path, "metadata.json")
     h = hashlib.sha1()
     h.update(os.path.abspath(index_path).encode())
     with open(meta_path, "rb") as fh:
         h.update(fh.read())
     h.update(str(os.path.getmtime(meta_path)).encode())
+    for sub in ("vectors.parquet", "graph.parquet"):
+        base = os.path.join(index_path, sub)
+        for dirpath, dirnames, filenames in os.walk(base):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, base)}:{st.st_size}:"
+                    f"{st.st_mtime_ns}".encode()
+                )
     return h.hexdigest()[:16]
 
 
@@ -122,6 +141,13 @@ def save_shard(root: str, token: str, sid: int, tup) -> None:
             json.dump(meta, fh)
         os.rename(tmp, final)
     except OSError:
+        pass
+    finally:
+        # after a successful rename this is a no-op; on ANY failure —
+        # including non-OSError (a numpy save dying mid-write) — the
+        # orphan .tmp.<pid> dir is removed rather than leaking until tmp
+        # cleanup (r8 ADVICE). Only a completed rename exposes meta.json,
+        # so a partially-written entry can never be served either way.
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -200,14 +226,27 @@ def decode_shard_from_parquet(index_path: str, sid: int, metric: str):
 
 def get_or_decode(root: str, token: str, sid: int, index_path: str,
                   metric: str):
-    """Cache hit -> mmap tuple; miss -> parquet decode + populate, serving
-    the in-memory copy this once. Returns :data:`EMPTY` for empty shards."""
+    """Cache hit -> mmap tuple; miss -> parquet decode + populate, then
+    RELOAD and prefer the mmap-backed tuple. Returns :data:`EMPTY` for
+    empty shards.
+
+    The reload matters because callers memoize what this returns
+    (:func:`load_shard_map`): serving the in-memory decode on a miss
+    would permanently pin one full decoded copy PER Python worker that
+    raced the first touch — the exact per-worker memory multiplier the
+    mmap cache exists to remove (r8 ADVICE, the r7 51 GB broadcast OOM
+    pattern). The in-memory copy is kept only when the reload still
+    misses (save failed, e.g. disk full) — then the cache degrades to
+    per-batch re-decode, never to wrong results."""
     tup = load_shard(root, token, sid)
     if tup is not None:
         return tup
     dec = decode_shard_from_parquet(index_path, sid, metric)
     save_shard(root, token, sid, dec)
-    return EMPTY if dec is None else dec
+    if dec is None:
+        return EMPTY
+    reloaded = load_shard(root, token, sid)
+    return dec if reloaded is None or reloaded is EMPTY else reloaded
 
 
 def drop_index_cache(root: str, token: str) -> None:

@@ -148,22 +148,69 @@ def test_over_budget_broadcast_rides_mmap_source(spark, idx_path):
     assert not isinstance(idx_ref._shards_bc, shard_cache.MmapShardSource)
     idx_ref.close()
 
+    # probed expectation from a REAL broadcast handle with the same
+    # shard_probes: a routing regression specific to the mmap shard map
+    # that preserved cardinality would pass a rows-count check (r8 ADVICE)
+    idx_ref = open_index(spark, idx_path)
+    expected_auto = _rows(idx_ref.search_with_dists(
+        q, k=5, beam_width=32, shard_probes="auto", mode="broadcast"
+    ))
+    assert not isinstance(idx_ref._shards_bc, shard_cache.MmapShardSource)
+    idx_ref.close()
+
     spark.conf.set(plans_index.BROADCAST_THRESHOLD_CONF, "1k")
     try:
         idx = open_index(spark, idx_path)
-        for probes in (None, "auto"):
+        for probes, want in ((None, expected), ("auto", expected_auto)):
             got = _rows(idx.search_with_dists(
                 q, k=5, beam_width=32, shard_probes=probes, mode="broadcast"
             ))
-            if probes is None:
-                assert got == expected
-            else:
-                assert len(got) == len(expected)
+            assert got == want
         assert isinstance(idx._shards_bc, shard_cache.MmapShardSource)
         idx.close()
         assert idx._shards_bc is None
     finally:
         spark.conf.unset(plans_index.BROADCAST_THRESHOLD_CONF)
+
+
+def test_cold_get_or_decode_returns_mmap(spark, idx_path):
+    """A cache MISS must populate and then serve the mmap-backed tuple,
+    not the in-memory decode: load_shard_map memoizes whatever this
+    returns, and an in-memory copy would be pinned per worker process —
+    the multiplier the cache exists to remove (r8 ADVICE, medium)."""
+    import numpy as np
+
+    idx = open_index(spark, idx_path)
+    token = idx._get_cache_token()
+    root = shard_cache.cache_root()
+    shutil.rmtree(os.path.join(root, token), ignore_errors=True)
+    tup = shard_cache.get_or_decode(root, token, 0, idx_path, "l2")
+    assert tup is not shard_cache.EMPTY
+    mat = tup[1]
+    assert isinstance(mat, np.memmap), type(mat)
+    # and the warm-path hit stays mmap too
+    again = shard_cache.get_or_decode(root, token, 0, idx_path, "l2")
+    assert isinstance(again[1], np.memmap)
+    idx.close()
+
+
+def test_token_changes_when_parquet_replaced_without_metadata(
+    spark, idx_path
+):
+    """In-place vectors/graph replacement that leaves metadata.json
+    untouched must still invalidate the cache token (r8 ADVICE: a token
+    keyed on metadata alone served stale shards silently)."""
+    before = shard_cache.index_token(idx_path)
+    vdir = os.path.join(idx_path, "vectors.parquet")
+    victim = next(
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(vdir)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    st = os.stat(victim)
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert shard_cache.index_token(idx_path) != before
 
 
 def test_cached_scan_hamming_roundtrip(spark, tmp_path, monkeypatch):
