@@ -28,6 +28,27 @@
  * amortize Python dispatch — pure overhead-hiding, unnecessary in C.
  * One-at-a-time is the textbook greedy; its explored set is a subset of
  * the fanout>1 kernel's, recall is re-verified by the Python tests.
+ *
+ * r9 lever results on the 1M x 128-d merged index (recorded so they are
+ * not retried; interleaved A/B, bit-identical outputs checksummed):
+ * - int8 integer-SIMD distance (vpmaddwd) + -mprefer-vector-width=512:
+ *   KEPT — 1.2-1.4x the convert-to-float form on the isolated distance
+ *   loop; whole-kernel effect modest because the loop is latency-, not
+ *   compute-bound (below).
+ * - prefetching the NEXT best-unexpanded node's adjacency row after
+ *   each expansion: NEUTRAL (-0.4%) — the row is usually cache-resident
+ *   already (hot frontier nodes repeat across queries).
+ * - candidate-row prefetch lookahead 4 -> 8: -2%.
+ * - T0 instead of T2 locality on candidate-row prefetch: -2%.
+ * - working-set memmove (counters: ~1.3k inserts, ~4.8 MB moved per
+ *   query at beam 512) is NOT the wall: it is L1/L2-resident, ~3-5% of
+ *   kernel cycles. The budget at beam 512 is ~9.1k candidate
+ *   evaluations per query whose code-row gathers DRAM-miss in a chain
+ *   the existing two-pass prefetch already overlaps as far as the
+ *   frontier dependency allows: single-proc is memory-LATENCY-bound,
+ *   32-proc aggregate is memory-BANDWIDTH-bound. Cutting bytes per
+ *   evaluation (int8 codes) and evaluations per query (graph quality)
+ *   are the remaining axes, not instruction tuning.
  */
 
 #include <stdint.h>
