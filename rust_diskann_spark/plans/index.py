@@ -134,16 +134,29 @@ class DiskANNIndex:
 
     def _broadcast_shards(self):
         if self._shards_bc is None:
-            if self._use_scan_cache() and not self._fits_broadcast():
-                # explicit broadcast mode on an over-budget file-backed
-                # index: serve the shard map from the node-local mmap
-                # cache instead of a real broadcast — one page-cache copy
-                # per node rather than one unpickled copy PER WORKER (the
-                # r7 5M attempt OOM-killed the JVM at 51 GB RSS exactly
-                # this way). Populate the cache with the distributed
-                # routing job first (one shard per task) so the first
-                # query batch doesn't have 32 workers racing to decode
-                # the same shards.
+            if (
+                self._use_scan_cache()
+                and not self._fits_broadcast()
+                and not self._broadcast_feasible()
+            ):
+                # explicit broadcast mode on an INFEASIBLY large
+                # file-backed index: serve the shard map from the
+                # node-local mmap cache instead of a real broadcast —
+                # one page-cache copy per node rather than one unpickled
+                # copy PER WORKER (the r7 5M attempt OOM-killed the JVM
+                # at 51 GB RSS exactly this way). Populate the cache with
+                # the distributed routing job first (one shard per task)
+                # so the first query batch doesn't have 32 workers racing
+                # to decode the same shards.
+                #
+                # Feasible-but-over-auto-budget indexes take the REAL
+                # broadcast: per-worker copies are anonymous memory
+                # (transparent huge pages), the mmap is 4 KiB file-backed
+                # page-cache — measured 1.45-1.6x apart on the 1M index
+                # (12,435 vs 7,733 q/s beam 128; 8,574 vs ~3k beam 512,
+                # gated slices, scale_runs_r9/1m_resid_real.log). An
+                # explicit mode="broadcast" is the caller asking for
+                # residency; only true infeasibility should downgrade it.
                 self._get_scan_routing()
                 self._shards_bc = shard_cache.MmapShardSource(
                     shard_cache.cache_root(), self._get_cache_token(),
@@ -220,6 +233,34 @@ class DiskANNIndex:
         elem = 8 if m.elem_type == "long" else 4
         est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
         return est_bytes <= auto_broadcast_budget(self.spark)
+
+    def _broadcast_feasible(self) -> bool:
+        """Whether an EXPLICIT ``mode="broadcast"`` request can be
+        honored with a real broadcast: per-worker unpickled copies cost
+        ~(executor cores x index bytes), so require that to fit in half
+        the executor memory. The conservative auto budget stays the
+        auto-mode policy; this check only decides real-vs-mmap residency
+        when the caller already chose broadcast. An explicit
+        ``BROADCAST_THRESHOLD_CONF`` remains the operator's word and is
+        never exceeded (returns False so the over-budget mmap path
+        applies)."""
+        if self.spark.conf.get(BROADCAST_THRESHOLD_CONF, None) is not None:
+            return False
+        m = self.meta
+        elem = 8 if m.elem_type == "long" else 4
+        est_bytes = m.num_vectors * (elem * m.dim + 4 * m.max_degree)
+        master = self.spark.conf.get("spark.master", "")
+        if master.startswith("local"):
+            mem = self.spark.conf.get("spark.driver.memory", "1g")
+            cores = self.spark.sparkContext.defaultParallelism
+        else:
+            mem = self.spark.conf.get("spark.executor.memory", "1g")
+            cores = int(self.spark.conf.get("spark.executor.cores", "1"))
+        try:
+            mem_bytes = _parse_mem(mem)
+        except ValueError:
+            return False
+        return est_bytes * max(cores, 1) <= mem_bytes // 2
 
     @property
     def params(self) -> IndexParams:

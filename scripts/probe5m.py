@@ -59,6 +59,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # RDS_BCAST_BUDGET: override the broadcast-index byte budget (e.g.
+    # "16g" to force a REAL per-worker broadcast, "1m" to force the
+    # over-budget mmap shard map) — the residency A/B knob for comparing
+    # per-worker unpickled copies vs one page-cache copy per node.
+    if os.environ.get("RDS_BCAST_BUDGET"):
+        from rust_diskann_spark.plans.index import BROADCAST_THRESHOLD_CONF
+
+        spark.conf.set(
+            BROADCAST_THRESHOLD_CONF, os.environ["RDS_BCAST_BUDGET"]
+        )
+
     from bench import BW_GATE, bw_ratio, compute_ratio, host_calibration
     from rust_diskann_spark import open_index
 

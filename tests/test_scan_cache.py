@@ -173,6 +173,28 @@ def test_over_budget_broadcast_rides_mmap_source(spark, idx_path):
         spark.conf.unset(plans_index.BROADCAST_THRESHOLD_CONF)
 
 
+def test_feasible_over_budget_broadcast_stays_real(spark, idx_path,
+                                                   monkeypatch):
+    """Explicit broadcast mode past the AUTO budget but within memory
+    feasibility must use a REAL broadcast, not the mmap shard map: the
+    per-worker anonymous copies run 1.45-1.6x the 4 KiB file-backed mmap
+    on gather-bound search (r9, scale_runs_r9/1m_resid_real.log). Only
+    true infeasibility (workers x bytes vs executor memory) or an
+    explicit operator conf downgrades an explicit broadcast request."""
+    from rust_diskann_spark.plans import index as plans_index
+
+    monkeypatch.setattr(plans_index, "BROADCAST_INDEX_THRESHOLD", 1)
+    q = _queries(spark, _corpus(spark))
+    idx = open_index(spark, idx_path)
+    assert not idx._fits_broadcast()
+    assert idx._broadcast_feasible()
+    rows = _rows(idx.search_with_dists(q, k=5, beam_width=32,
+                                       mode="broadcast"))
+    assert len(rows) > 0
+    assert not isinstance(idx._shards_bc, shard_cache.MmapShardSource)
+    idx.close()
+
+
 def test_cold_get_or_decode_returns_mmap(spark, idx_path):
     """A cache MISS must populate and then serve the mmap-backed tuple,
     not the in-memory decode: load_shard_map memoizes whatever this
