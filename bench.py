@@ -154,11 +154,25 @@ def main() -> None:
     from rust_diskann_spark import IndexParams, build_index, open_index
 
     timings: dict[str, float] = {}
+    # r9: per-query probe interleaving. Endpoint-only probes provably
+    # miss mid-run storms (r9 envelope: a gated run with quiet pre/post
+    # probes still carried +48-79% on individual bandwidth-bound queries
+    # while storm-hit runs landed at 60-64 s vs 43 s same-code). A probe
+    # between every timed query costs ~0.6 s each OUTSIDE the timed
+    # regions and yields a per-query validity flag: valid iff BOTH
+    # surrounding probes are quiet on BOTH axes (bench.probes_quiet).
+    # Cross-round readers can then compare only mutually-valid queries.
+    query_probes: dict[str, tuple[dict, dict]] = {}
+    _last_probe = [calib]
 
     def timed(name: str, fn) -> None:
+        pre = _last_probe[0]
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        post = host_calibration()
+        query_probes[name] = (pre, post)
+        _last_probe[0] = post
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     vectors = emb.select(
@@ -278,6 +292,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_valid": {
+                    name: probes_quiet(pre, 1.25) and probes_quiet(post, 1.25)
+                    for name, (pre, post) in query_probes.items()
+                },
+                "queries_bw_ratio": {
+                    name: round(max(bw_ratio(pre), bw_ratio(post)), 3)
+                    for name, (pre, post) in query_probes.items()
+                },
                 "sf": sf,
                 "ann_recall_at_10": round(recall, 5),
                 "ann_qps": qps,
