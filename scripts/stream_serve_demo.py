@@ -69,7 +69,13 @@ def main() -> None:
     # and its latencies are upper bounds only — pre+post probes with a
     # validity flag make the artifact self-gating like bench.py (r7
     # verdict item #3)
-    from bench import BW_GATE, bw_ratio, compute_ratio, host_calibration
+    from bench import (
+        BW_GATE,
+        CALIB_R4,
+        bw_ratio,
+        compute_ratio,
+        host_calibration,
+    )
 
     ratio_of = compute_ratio
 
