@@ -11,11 +11,18 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=scale_runs_r9b
 
-# 0) 1M rebuild at the headline config (the reuse guard detects the M
-# mismatch against the M=32 index this session built first).
-RDS_MAX_DEGREE=64 RDS_BUILD_ONLY=1 RDS_REUSE_IDX=1 \
+# 0) 1M rebuild at the headline config. NOTE: RDS_REUSE_IDX=1 with a
+# MISMATCHED index on disk is a SystemExit telling the operator to
+# rebuild, not an automatic rebuild — the first pipeline launch left the
+# M=32 index in place, step 0 aborted, and step 1 started measuring the
+# wrong graph before it was caught. The stale dir is removed up front
+# and each build is now followed by a config assertion.
+rm -rf /tmp/rds_scale_idx_1000000_merged
+RDS_MAX_DEGREE=64 RDS_BUILD_ONLY=1 \
   python scripts/scale_demo.py 1000000 2000 clustered merged \
   > $OUT/1m_build_m64.log 2>&1
+grep -q '"shard_max_degree": 64' /tmp/rds_scale_idx_1000000_merged/metadata.json \
+  || { echo "1M build missing or wrong config" >> $OUT/pipeline.log; exit 1; }
 
 # 1) 1M broadcast-residency beam curve, gated. r9's session measured
 # 12,435 @ 128 / 8,574 @ 512 between storms; this re-pins the curve —
@@ -29,9 +36,11 @@ RDS_BEAM_LIST=128,192,256,384,512 RDS_STEADY_WINDOWS=4 \
     > $OUT/1m_bcast_beams.json 2> $OUT/1m_bcast_beams.err
 
 # 2) 5M rebuild (same seed/config as r8/r9: 384 requested kmeans shards).
-RDS_MAX_DEGREE=64 RDS_NUM_SHARDS=384 RDS_BUILD_ONLY=1 RDS_REUSE_IDX=1 \
+RDS_MAX_DEGREE=64 RDS_NUM_SHARDS=384 RDS_BUILD_ONLY=1 \
   python scripts/scale_demo.py 5000000 2000 clustered sharded \
   > $OUT/5m_build2.log 2>&1
+grep -q '"max_degree": 64' /tmp/rds_scale_idx_5000000_sharded/metadata.json \
+  || { echo "5M build missing or wrong config" >> $OUT/pipeline.log; exit 1; }
 
 # 3) 5M per-shard beam sweep at 50k batches — the untried lever for the
 # >=4k q/s bar. The serving beam (512) was inherited from the 1M/

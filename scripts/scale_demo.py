@@ -197,7 +197,15 @@ def main() -> None:
     # RDS_REUSE_IDX=1: reopen an existing index dir instead of rebuilding —
     # for sweeping search-side knobs (beam width) without paying the build
     # again. build_sec is reported as null in that case.
-    reuse = os.environ.get("RDS_REUSE_IDX") == "1" and os.path.exists(
+    # RDS_REUSE_IDX=rebuild: same, but a config MISMATCH falls through to
+    # a rebuild instead of aborting. With "1" the mismatch is a
+    # SystemExit addressed to the operator — which is right for knob
+    # sweeps (never clobber an index mid-experiment) but wrong for
+    # idempotent pipelines: a pipeline that set "1" here aborted on the
+    # leftover M=32 index and its next stage started measuring the wrong
+    # graph before the exit was noticed.
+    reuse_env = os.environ.get("RDS_REUSE_IDX")
+    reuse = reuse_env in ("1", "rebuild") and os.path.exists(
         os.path.join(idx_path, "metadata.json")
     )
     if reuse:
@@ -244,11 +252,18 @@ def main() -> None:
         ]
         if mismatches:
             detail = ", ".join(f"{n}: index={g} run={w}" for n, g, w in mismatches)
-            raise SystemExit(
-                f"RDS_REUSE_IDX: index at {idx_path} does not match this "
-                f"run's config ({detail}) — rebuild"
+            if reuse_env != "rebuild":
+                raise SystemExit(
+                    f"RDS_REUSE_IDX: index at {idx_path} does not match "
+                    f"this run's config ({detail}) — rebuild"
+                )
+            print(
+                f"RDS_REUSE_IDX=rebuild: index at {idx_path} does not "
+                f"match this run's config ({detail}) — rebuilding",
+                file=sys.stderr,
             )
-    else:
+            reuse = False
+    if not reuse:
         shutil.rmtree(idx_path, ignore_errors=True)
         t0 = time.perf_counter()
         idx = build_index(base, idx_path, params)
