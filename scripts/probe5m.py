@@ -55,6 +55,15 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("RDS_DRIVER_MEM", "64g"))
         .config("spark.driver.maxResultSize", "8g")
+        # this host's first-touch of large anon regions can crawl at
+        # ~10 MB/s during its memory-pressure phases (r9 SUMMARY); the
+        # 24 GB 32-worker real-broadcast warm then starves the local
+        # executor's heartbeat thread for minutes and the context kills
+        # itself with no task failure (observed 19:52 this session —
+        # RpcEndpointNotFoundException with nothing preceding it). Give
+        # the heartbeat headroom instead of dying mid-warm.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

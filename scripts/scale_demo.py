@@ -96,6 +96,11 @@ def main() -> None:
         # RDS_DRIVER_MEM trades JVM shuffle room against worker headroom.
         .config("spark.driver.memory", os.environ.get("RDS_DRIVER_MEM", "90g"))
         .config("spark.driver.maxResultSize", "8g")
+        # heartbeat headroom: this host's slow first-touch anon phases
+        # can starve the local executor heartbeat during large warms and
+        # the context kills itself with no task failure (see probe5m.py)
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
         # r3's 5M attempt died with bare "Python worker exited
         # unexpectedly" x64 and no traceback; these make any worker
         # crash print the Python/faulthandler stack so OOM vs segfault

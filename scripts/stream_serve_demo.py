@@ -58,6 +58,11 @@ def main() -> None:
         # warm(broadcast) collects the whole index (~1.7 GB at 1M) —
         # the 1 GiB default kills the collect mid-warm
         .config("spark.driver.maxResultSize", "8g")
+        # heartbeat headroom: this host's slow first-touch anon phases
+        # can starve the local executor heartbeat during large warms and
+        # the context kills itself with no task failure (see probe5m.py)
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
