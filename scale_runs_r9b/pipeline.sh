@@ -1,12 +1,12 @@
 #!/bin/bash
 # Round-9 clean-window measurement pipeline (fresh-boot host, load < 1).
 # Strictly sequential: the first attempt ran the 1M and 5M rebuilds
-# concurrently and the two 90g JVMs OOMed the 125 GB host (5m_build.log,
-# RpcEndpointNotFoundException after the context died mid-generation).
-# Both rebuilds pin the r8/r9 headline config explicitly
+# concurrently and the two 90g JVMs OOMed the 125 GB host
+# (5m_build_oom.log, RpcEndpointNotFoundException after the context died
+# mid-generation). Both rebuilds pin the r8/r9 headline config explicitly
 # (RDS_MAX_DEGREE=64; 384 requested kmeans shards at 5M -> 408 stored
 # after cap-split): the first 1M attempt here silently built the M=32
-# ablation config because the knob wasn't set (1m_build.log).
+# ablation config because the knob wasn't set (1m_build_m32_default.log).
 set -u
 cd "$(dirname "$0")/.."
 OUT=scale_runs_r9b
@@ -21,7 +21,10 @@ rm -rf /tmp/rds_scale_idx_1000000_merged
 RDS_MAX_DEGREE=64 RDS_BUILD_ONLY=1 \
   python scripts/scale_demo.py 1000000 2000 clustered merged \
   > $OUT/1m_build_m64.log 2>&1
-grep -q '"shard_max_degree": 64' /tmp/rds_scale_idx_1000000_merged/metadata.json \
+# exact-equality check via json (r9 ADVICE: the old unanchored grep for
+# '"shard_max_degree": 64' also matched 640/641 etc.)
+python -c 'import json,sys; m=json.load(open(sys.argv[1])); sys.exit(0 if m.get("shard_max_degree")==64 else 1)' \
+    /tmp/rds_scale_idx_1000000_merged/metadata.json \
   || { echo "1M build missing or wrong config" >> $OUT/pipeline.log; exit 1; }
 
 # 1) 1M broadcast-residency beam curve, gated. r9's session measured
@@ -39,7 +42,8 @@ RDS_BEAM_LIST=128,192,256,384,512 RDS_STEADY_WINDOWS=4 \
 RDS_MAX_DEGREE=64 RDS_NUM_SHARDS=384 RDS_BUILD_ONLY=1 \
   python scripts/scale_demo.py 5000000 2000 clustered sharded \
   > $OUT/5m_build2.log 2>&1
-grep -q '"max_degree": 64' /tmp/rds_scale_idx_5000000_sharded/metadata.json \
+python -c 'import json,sys; m=json.load(open(sys.argv[1])); sys.exit(0 if m.get("max_degree")==64 else 1)' \
+    /tmp/rds_scale_idx_5000000_sharded/metadata.json \
   || { echo "5M build missing or wrong config" >> $OUT/pipeline.log; exit 1; }
 
 # 3) 5M per-shard beam sweep at 50k batches — the untried lever for the

@@ -214,9 +214,12 @@ def main() -> None:
         os.path.join(idx_path, "metadata.json")
     )
     if reuse:
-        from rust_diskann_spark import open_index
-
-        idx = open_index(spark, idx_path)
+        # Config check reads metadata.json directly (r9 ADVICE): a full
+        # open_index() of a stale index pays its shard-map load (multi-GB
+        # at 5M) just to learn the config mismatches; json.load costs
+        # microseconds and has every field the guard compares.
+        with open(os.path.join(idx_path, "metadata.json")) as fh:
+            meta = json.load(fh)
         build_s = None
         # the dir is shared across demo configs — searching a stale index
         # from a different run silently reports garbage recall (measured:
@@ -229,29 +232,29 @@ def main() -> None:
         # against the per-shard CLI knob could never match — r3 verdict
         # item). Pre-r4 metadata lacks the field; fall back to max_degree,
         # which is the per-shard M for non-merged builds.
-        idx_shard_m = idx.meta.shard_max_degree or idx.meta.max_degree
+        idx_shard_m = meta.get("shard_max_degree") or meta["max_degree"]
         mismatches = [
             (name, got, want)
             for name, got, want in [
-                ("num_vectors", idx.meta.num_vectors, N),
+                ("num_vectors", meta["num_vectors"], N),
                 ("shard_max_degree", idx_shard_m, params.max_degree),
-                ("shard_overlap", idx.meta.shard_overlap,
+                ("shard_overlap", meta.get("shard_overlap"),
                  min(params.shard_overlap, params.num_shards)
                  if MODE == "merged" else 1),
-                ("build_beam_width", idx.meta.build_beam_width,
+                ("build_beam_width", meta["build_beam_width"],
                  params.build_beam_width),
-                ("passes", idx.meta.passes, params.passes),
+                ("passes", meta["passes"], params.passes),
                 # merged builds store ONE logical shard regardless of the
                 # cell count the build fanned out over; sharded kmeans
                 # builds may store MORE than requested (cap-split) — the
                 # guard then checks the count is at least the request
-                ("num_shards", idx.meta.num_shards,
+                ("num_shards", meta["num_shards"],
                  1 if MODE == "merged"
-                 else max(idx.meta.num_shards, params.num_shards)
+                 else max(meta["num_shards"], params.num_shards)
                  if params.shard_by == "kmeans"
                  else params.num_shards),
-                ("metric", idx.meta.metric, params.metric),
-                ("seed", idx.meta.seed, params.seed),
+                ("metric", meta["metric"], params.metric),
+                ("seed", meta["seed"], params.seed),
             ]
             if got != want
         ]
@@ -268,6 +271,10 @@ def main() -> None:
                 file=sys.stderr,
             )
             reuse = False
+        else:
+            from rust_diskann_spark import open_index
+
+            idx = open_index(spark, idx_path)
     if not reuse:
         shutil.rmtree(idx_path, ignore_errors=True)
         t0 = time.perf_counter()
