@@ -640,6 +640,189 @@ def cached_scan_search(
     )
 
 
+def group_shards_by_routing(
+    routing: dict, metric: str, dtype, tau: float | None = None,
+    max_pieces: int | None = None,
+) -> dict[int, list[int]]:
+    """Deterministic serving-side grouping of shards into per-cluster
+    piece sets (r9 verdict #2a), from routing geometry alone.
+
+    The kmeans+cap-split build cuts each natural cluster into several
+    pieces; auto-probing measures ~6 probes/query on the 5M/408 index
+    because a query's home-cluster pieces all route near its best
+    distance (scale_runs_r9/probe_curve_5m.json: probes/query flat at
+    mean 5.94 for every tau in [0.05, 0.50] — the pieces ARE the probe
+    set). Serving cost is then ~6 beam searches + ~6 task dispatches per
+    query. Grouping co-probed pieces into one unioned sub-graph
+    (shard_cache.merge_tuples) collapses that to ~1.
+
+    Rule: min-linkage distance between shard routing sets, thresholded
+    by the SAME auto-probe geometry — shards u,v join when
+    ``d(u,v) <= tau * median(d(u, ·))`` (the _probe_mask rule with the
+    query at u's own routing set, where d_best = d(u,u) = 0); groups are
+    the connected components, each chunked to ``max_pieces`` (sorted
+    order) so one union can never exceed ``max_pieces`` shards of task
+    memory. Same-cluster pieces sample the same distribution, so their
+    min-linkage sits near 0 while foreign clusters sit near the median —
+    the threshold separates cleanly at any tau in the probe range.
+    Pure numpy over O(routing points²) — 408 shards x ~8 points is
+    ~10M distances, driver-side, once per index handle.
+
+    Env: ``RDS_GROUP_TAU`` (default: the auto-probe tau),
+    ``RDS_GROUP_MAX_PIECES`` (default 16)."""
+    import os
+
+    if tau is None:
+        tau = float(os.environ.get("RDS_GROUP_TAU", "0") or 0) or \
+            _auto_probe_tau()
+    if max_pieces is None:
+        max_pieces = int(os.environ.get("RDS_GROUP_MAX_PIECES", "16"))
+    sids = sorted(routing)
+    if not sids:
+        return {}
+    pts = [np.asarray(routing[s]) for s in sids]
+    starts = np.cumsum([0] + [len(p) for p in pts[:-1]]).tolist()
+    allpts = np.concatenate(pts)
+    # (n_points, n_shards) min over each shard's point set, then reduce
+    # query-rows to shards too -> (n_shards, n_shards) min-linkage
+    dmat = np.minimum.reduceat(
+        _route_dists_from_points(metric, allpts, pts, starts),
+        np.array(starts, dtype=np.int64),
+        axis=0,
+    )
+    med = np.median(dmat, axis=1)
+    edges = dmat <= (tau * med)[:, None]
+
+    parent = list(range(len(sids)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(*np.nonzero(edges)):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comps: dict[int, list[int]] = {}
+    for i, s in enumerate(sids):
+        comps.setdefault(find(i), []).append(s)
+    groups: dict[int, list[int]] = {}
+    for root_ in sorted(comps):
+        mem = sorted(comps[root_])
+        for lo in range(0, len(mem), max_pieces):
+            groups[len(groups)] = mem[lo : lo + max_pieces]
+    return groups
+
+
+def grouped_scan_search(
+    queries: DataFrame,
+    groups: dict[int, list[int]],
+    index_path: str,
+    token: str,
+    root: str,
+    params: IndexParams,
+    k: int,
+    beam_width: int = 64,
+    shard_probes: int | str | None = None,
+    routing=None,
+    skeleton=None,
+) -> DataFrame:
+    """:func:`cached_scan_search` with the task unit raised from one
+    shard to one PIECE GROUP (:func:`group_shards_by_routing`): each
+    task serves the mmap-cached union sub-graph of its group
+    (shard_cache.get_or_merge), so a query's ~6 home-cluster pieces
+    cost ONE beam search + ONE task dispatch instead of ~6 of each —
+    the per-probe-cost lever for the 5M serving bar (r9 verdict #2).
+
+    Probing happens at group granularity with the same auto rule; a
+    group's routing set is the union of its members'. ``routing`` (the
+    per-SHARD routing dict) is required when ``shard_probes`` is set —
+    the handle's memoized routing job provides it. Results follow the
+    same README.md:157 merge contract; the union search is the
+    per-cluster application of the same equivalence (one beam over
+    seeded disjoint sub-graphs vs per-piece beams) — recall at a given
+    beam is re-validated empirically in tests/benchmarks, since the
+    shared beam allocates budget across pieces instead of granting each
+    piece its own."""
+    spark = queries.sparkSession
+    metric = params.metric
+    dtype = np.int64 if metric == "hamming" else np.float32
+    q_pd = _collect_query_batch(queries)
+    items = sorted((g, [int(s) for s in sids]) for g, sids in groups.items())
+    if callable(skeleton):
+        skeleton = skeleton()
+    if skeleton is None:
+        skeleton = spark.createDataFrame(
+            items, "grp INT, sids ARRAY<INT>"
+        ).repartitionByRange(max(len(items), 1), "grp")
+
+    probe_map: dict[int, np.ndarray] | None = None
+    if shard_probes is not None and len(q_pd):
+        if callable(routing):
+            routing = routing()
+        if routing is None:
+            raise ValueError(
+                "grouped_scan_search with shard_probes needs the per-shard "
+                "routing dict (the index handle memoizes it)"
+            )
+        grouting = {
+            g: np.concatenate(
+                [np.asarray(routing[s]) for s in sids if s in routing]
+            )
+            for g, sids in items
+        }
+        probe_map = _probe_map_from_routing(
+            q_pd, grouting, metric, dtype, shard_probes
+        )
+    bc = spark.sparkContext.broadcast((q_pd, probe_map))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hashlib
+        from time import perf_counter as _pc
+
+        from rust_diskann_spark.operators import shard_cache
+
+        _t0 = _pc()
+        gid = int(pdf["grp"].iloc[0])
+        sids = [int(x) for x in pdf["sids"].iloc[0]]
+        q_all, pmap = bc.value
+        q_sel = q_all
+        if pmap is not None:
+            sel = pmap.get(gid)
+            q_sel = q_all.iloc[sel if sel is not None else []]
+        if len(q_sel) == 0:
+            return _empty_result_pdf()
+        # content-addressed union key: a regrouping (different tau /
+        # max_pieces) yields a different member list, hence a fresh
+        # cache entry rather than serving the old union
+        sig = _hashlib.sha1(
+            ",".join(map(str, sids)).encode()
+        ).hexdigest()[:8]
+        tup = shard_cache.get_or_merge(
+            root, token, f"g{gid}_{sig}", sids, index_path, metric
+        )
+        if tup is shard_cache.EMPTY:
+            return _empty_result_pdf()
+        return _search_decoded(
+            tup, q_sel, metric, dtype, k, beam_width, t0=_t0,
+            source="group",
+        )
+
+    candidates = skeleton.groupBy("grp").applyInPandas(
+        run, schema=RESULT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "dist")
+    )
+
+
 def scan_search(
     queries: DataFrame,
     scan_side: DataFrame,

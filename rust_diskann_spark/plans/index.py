@@ -131,6 +131,10 @@ class DiskANNIndex:
     # and the index's content-derived cache token
     _skeleton: object = None
     _cache_token: str | None = None
+    # piece-group serving state (group_pieces=True): the routing-derived
+    # {gid: [sids]} grouping and its persisted (grp, sids) skeleton
+    _groups: object = None
+    _group_skeleton: object = None
 
     def _broadcast_shards(self):
         if self._shards_bc is None:
@@ -190,6 +194,35 @@ class DiskANNIndex:
                     self._get_scan_side(), self.meta.metric
                 )
         return self._scan_routing
+
+    def _get_groups(self):
+        """Memoized routing-derived piece grouping (one driver-side
+        numpy pass over the routing dict, once per handle)."""
+        if self._groups is None:
+            metric = self.meta.metric
+            dtype = np.int64 if metric == "hamming" else np.float32
+            self._groups = search_ops.group_shards_by_routing(
+                self._get_scan_routing(), metric, dtype
+            )
+        return self._groups
+
+    def _get_group_skeleton(self):
+        """Persisted (grp, sids) dispatch frame for grouped scan —
+        one range-partition per group, same layout rationale as
+        :meth:`_get_skeleton`."""
+        if self._group_skeleton is None:
+            items = sorted(
+                (g, [int(s) for s in sids])
+                for g, sids in self._get_groups().items()
+            )
+            sk = (
+                self.spark.createDataFrame(items, "grp INT, sids ARRAY<INT>")
+                .repartitionByRange(max(len(items), 1), "grp")
+                .persist()
+            )
+            sk.count()
+            self._group_skeleton = sk
+        return self._group_skeleton
 
     def _use_scan_cache(self) -> bool:
         """Scan mode rides the node-local mmap shard cache when the index
@@ -284,6 +317,7 @@ class DiskANNIndex:
         query_blocks: int | None = None,
         shard_probes: int | str | None = None,
         mode: str = "auto",
+        group_pieces: bool = False,
     ) -> DataFrame:
         """Reference A7 (lib.rs:635-693): (query_id, rank, id, dist).
         ``shard_probes`` (broadcast + scan modes): IVF-style shard
@@ -340,9 +374,28 @@ class DiskANNIndex:
             raise ValueError(
                 f"mode must be auto|broadcast|scan|cogroup, got {mode!r}"
             )
+        if group_pieces and (
+            mode not in ("auto", "scan") or not self._use_scan_cache()
+        ):
+            # grouping lives in the mmap-cache serving layer (the union
+            # sub-graph is a cache entry); the other strategies have no
+            # home for it — silently ignoring the knob would misreport
+            # the measured configuration (same rationale as the cogroup
+            # shard_probes guard)
+            raise ValueError(
+                "group_pieces requires the cached scan path "
+                "(mode auto|scan on a file-backed index with "
+                "RDS_SCAN_CACHE enabled)"
+            )
         use_broadcast = mode == "broadcast" or (
             mode == "auto" and self._fits_broadcast()
         )
+        if group_pieces and use_broadcast:
+            raise ValueError(
+                "group_pieces requires the cached scan path; this index "
+                "fits broadcast under mode='auto' — pass mode='scan' to "
+                "force the scan strategy"
+            )
         if shard_probes is not None and mode == "cogroup":
             # cogroup replicates every query to every shard inside the
             # exchange — silently ignoring the routing knob would hand
@@ -365,6 +418,23 @@ class DiskANNIndex:
             # driver; explicit scan mode propagates the error.
             try:
                 if self._use_scan_cache():
+                    if group_pieces:
+                        # task unit = one piece GROUP served from its
+                        # mmap-cached union sub-graph: a query's ~6
+                        # home-cluster cap-split pieces cost one beam
+                        # search + one dispatch instead of ~6 of each
+                        # (operators/search.py grouped_scan_search)
+                        return search_ops.grouped_scan_search(
+                            queries, self._get_groups(), self.path,
+                            self._get_cache_token(),
+                            shard_cache.cache_root(),
+                            self.params, k, beam_width,
+                            shard_probes=shard_probes,
+                            routing=self._get_scan_routing
+                            if shard_probes is not None
+                            else None,
+                            skeleton=self._get_group_skeleton,
+                        )
                     # file-backed index: residency is the node-local mmap
                     # shard cache; the dispatch side is the shard-id
                     # skeleton, so no corpus bytes ever shuffle or persist
@@ -392,6 +462,15 @@ class DiskANNIndex:
             except search_ops.ScanBatchTooLarge:
                 if mode == "scan":
                     raise
+                if group_pieces:
+                    # the cogroup fallback has no union-cache serving
+                    # layer — surface it rather than silently changing
+                    # the measured configuration
+                    raise ValueError(
+                        "group_pieces requires a collectable query batch "
+                        "(scan mode); this batch exceeded the scan "
+                        "collect cap"
+                    )
                 if shard_probes is not None:
                     # auto + probes + oversized batch: the cogroup
                     # fallback cannot route — surface it rather than
@@ -498,6 +577,10 @@ class DiskANNIndex:
         if self._skeleton is not None:
             self._skeleton.unpersist()
             self._skeleton = None
+        self._groups = None
+        if self._group_skeleton is not None:
+            self._group_skeleton.unpersist()
+            self._group_skeleton = None
         if self._cache_token is not None:
             # executor nodes hold their own /<cache_root>/<token> trees
             # (populated by the routing warm and by self-heal decodes);
