@@ -524,14 +524,42 @@ class DiskANNIndex:
           side — the ONE corpus shuffle that every later batch reuses.
         - cogroup: persist the raw tables; the per-batch cogroup
           exchange re-reads them every batch.
+        - grouped: scan warm PLUS one distributed pass that materializes
+          every piece-group union in the mmap cache
+          (shard_cache.get_or_merge), so a ``group_pieces=True`` serving
+          loop's first batch doesn't pay the per-node merge.
         """
-        if mode not in ("auto", "broadcast", "scan", "cogroup"):
+        if mode not in ("auto", "broadcast", "scan", "cogroup", "grouped"):
             # same whitelist as search_with_dists: a typo ("broadcst")
             # would otherwise fall into the cogroup else-branch and
             # silently persist GBs of raw tables for nothing (r4 ADVICE)
             raise ValueError(
-                f"mode must be auto|broadcast|scan|cogroup, got {mode!r}"
+                f"mode must be auto|broadcast|scan|cogroup|grouped, "
+                f"got {mode!r}"
             )
+        if mode == "grouped":
+            if not self._use_scan_cache():
+                raise ValueError(
+                    "warm('grouped') requires the cached scan path "
+                    "(file-backed index with RDS_SCAN_CACHE enabled)"
+                )
+            # routing pass populates every per-shard cache entry; the
+            # scan-all k=1/beam=1 dummy search then touches every group
+            # task exactly once, assembling its union into the cache
+            self._get_scan_routing()
+            m = self.meta
+            elem_sql = "bigint" if m.elem_type == "long" else "float"
+            probe = self.spark.range(1).select(
+                F.col("id").alias("query_id"),
+                F.array_repeat(F.lit(0).cast(elem_sql), m.dim).alias("qvec"),
+            )
+            search_ops.grouped_scan_search(
+                probe, self._get_groups(), self.path,
+                self._get_cache_token(), shard_cache.cache_root(),
+                self.params, k=1, beam_width=1,
+                skeleton=self._get_group_skeleton,
+            ).count()
+            return self
         m = self.meta
         use_broadcast = mode == "broadcast" or (
             mode == "auto" and self._fits_broadcast()

@@ -39,6 +39,11 @@ PROBES = PROBES if PROBES == "auto" else int(PROBES)
 # "broadcast" (query tasks, local finalize; over-budget file-backed
 # indexes ride the mmap shard map, so this is now legal at 5M)
 MODE = os.environ.get("RDS_PROBE_MODE", "scan")
+# RDS_GROUP_PIECES=1 (scan mode): serve co-probed cap-split pieces from
+# per-cluster merged sub-graphs (search_with_dists(group_pieces=True)) —
+# the r9 verdict #2 per-probe-cost lever. The first (untimed) warm
+# search pays the union-cache materialization.
+GROUP_PIECES = os.environ.get("RDS_GROUP_PIECES") == "1"
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 WINDOWS = int(os.environ.get("RDS_STEADY_WINDOWS", "2"))
 GATE = float(os.environ.get("RDS_SLICE_GATE", "1.25"))
@@ -191,7 +196,7 @@ def main() -> None:
             def run_once(count_only=True):
                 res = idx.search_with_dists(
                     queries, k=K, beam_width=beam, shard_probes=PROBES,
-                    mode=MODE,
+                    mode=MODE, group_pieces=GROUP_PIECES,
                 )
                 return res.count() if count_only else res
 
@@ -239,6 +244,10 @@ def main() -> None:
             {
                 "metric": "probe5m",
                 "mode": MODE,
+                "group_pieces": GROUP_PIECES,
+                "n_groups": (
+                    len(idx._get_groups()) if GROUP_PIECES else None
+                ),
                 "index": IDX,
                 "beam_width": BEAM,
                 "shard_probes": str(PROBES),

@@ -189,3 +189,30 @@ def test_group_pieces_guards(spark, kmeans_idx):
         idx.search_with_dists(
             q, k=5, beam_width=32, mode="cogroup", group_pieces=True
         )
+
+
+def test_warm_grouped_materializes_unions(spark, kmeans_idx):
+    idx, corpus = kmeans_idx
+    idx.warm("grouped")
+    token_dir = os.path.join(
+        shard_cache.cache_root(), idx._get_cache_token()
+    )
+    group_dirs = {
+        d for d in os.listdir(token_dir) if d.startswith("shard_g")
+    }
+    assert len(group_dirs) == len(idx._get_groups())
+    # a subsequent grouped search reuses them (no new entries)
+    q = _queries(corpus)
+    idx.search_with_dists(
+        q, k=5, beam_width=32, mode="scan", shard_probes="auto",
+        group_pieces=True,
+    ).count()
+    assert {
+        d for d in os.listdir(token_dir) if d.startswith("shard_g")
+    } == group_dirs
+
+
+def test_warm_rejects_unknown_mode(spark, kmeans_idx):
+    idx, _ = kmeans_idx
+    with pytest.raises(ValueError, match="grouped"):
+        idx.warm("groupd")

@@ -657,3 +657,40 @@ def test_native_so_cache_is_private_per_user():
         assert st.st_uid == os.getuid()
         assert not st.st_mode & stat.S_IWGRP
         assert not st.st_mode & stat.S_IWOTH
+
+
+def test_int8_view_rides_decode_above_threshold():
+    """r9 verdict #3 premise check: any shard at or above
+    QUANTIZE_MIN_ROWS decodes WITH the int8 traversal view for l2 and
+    (normalized) cosine — so the 1M real-broadcast path, whose tuples
+    come from the same _decode_shard, serves int8 code gathers, not f32
+    rows. Below the threshold the f32 path is untouched."""
+    import pyarrow as pa
+
+    from rust_diskann_spark.operators.search import (
+        QUANTIZE_MIN_ROWS,
+        _decode_shard,
+        _maybe_quant,
+    )
+
+    rng = np.random.default_rng(3)
+    n = QUANTIZE_MIN_ROWS
+    mat = rng.standard_normal((n, 8)).astype(np.float32)
+    vtbl = pa.table(
+        {"id": pa.array(range(n), pa.int64()),
+         "vec": pa.array(mat.tolist(), pa.list_(pa.float32()))}
+    )
+    gtbl = pa.table(
+        {"id": pa.array(range(n), pa.int64()),
+         "neighbors": pa.array([[(i + 1) % n] for i in range(n)],
+                               pa.list_(pa.int64())),
+         "medoid": pa.array([0] * n, pa.int64())}
+    )
+    tup = _decode_shard(vtbl, gtbl, 0, "l2", np.float32, False)
+    quant = tup[6]
+    assert quant is not None and quant.codes.dtype == np.int8
+    assert quant.codes.shape == (n, 8) and not quant.normalized
+    # cosine gets the normalized-code view (rides the l2 kernel)
+    assert _maybe_quant("cosine", mat).normalized
+    # below threshold: untouched f32 path
+    assert _maybe_quant("l2", mat[: n - 1]) is None
