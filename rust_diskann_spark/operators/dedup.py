@@ -308,43 +308,57 @@ def minhash_near_duplicates(
     corpus, so the verifier's dominant cost is O(|candidate pairs|), not
     O(corpus) (r4 verdict: the verify constant factor, previously two
     full-corpus shingle scans through the join)."""
-    # ONE lazy plan, cands referenced exactly once: the signature pipeline
-    # evaluates a single time inside a single job. (An earlier shape
-    # localCheckpoint'ed cands and semi-joined a candidate-doc shingle
-    # table — correct, but the eager checkpoint split the work into two
-    # cold jobs, each paying whole-stage codegen of the 128-perm minhash
-    # expression: measured 9.3 s cold vs 4.8 s for this shape at sf0.1.)
-    # AQE broadcasts cands (the small side) under each text join, so the
-    # corpus streams through a hash probe and only MATCHED rows reach the
-    # shingle projection.
+    # r10 shape: per-DOC shingle tables attached to the pair table through
+    # join barriers (guide §8's "decide with small rows" applied to the
+    # verifier). The former shape joined raw text to each pair and built
+    # the shingle arrays in a projection ABOVE the joins; CollapseProject
+    # then inlined the full tokenize->ngram->distinct tree into every
+    # consumer (n_inter twice, n_a, n_b once each — the committed
+    # minhash_verified_pairs_before.txt plan shows 4 copies), so each
+    # pair paid ~4 tokenizations of each text and the one-time
+    # compile/JIT of the collapsed mega-expression dominated cold runs
+    # (same session, same window: 43.3 s first run vs 3.7 s second).
+    # Computing shingles once per candidate DOC below a join keeps every
+    # expression tree small (joins are not projections — no collapse) and
+    # does strictly less work: tokenize once per doc side instead of ~4x
+    # per pair.
     #
     # ``candidates``: a precomputed (doc_a, doc_b) table — a pipeline that
     # already materialized its LSH candidate pairs passes them here so the
     # signature stage is not re-derived from raw text (the same
     # share-the-lineage contract dedup_components offers for its pairs
-    # input).
-    cands = (
-        candidates
-        if candidates is not None
-        else minhash_candidate_pairs(docs, text_col, n)
-    )
-    a_txt = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col(text_col).alias("_text_a")
-    )
-    b_txt = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col(text_col).alias("_text_b")
-    )
+    # input). Without it the pair table is localCheckpoint'ed once (it is
+    # referenced three times below; re-deriving the signature lineage per
+    # reference would triple the expensive stage — dedup_components sets
+    # the precedent for an internal checkpoint).
+    if candidates is not None:
+        cands = candidates
+    else:
+        cands = minhash_candidate_pairs(docs, text_col, n).localCheckpoint(
+            eager=True
+        )
+    par = docs.sparkSession.sparkContext.defaultParallelism
 
-    def _shingles(col):
-        return F.array_distinct(TX.word_ngrams_expr(TX.tokens_expr(col), n))
+    def _side_shingles(side: str, out: str) -> DataFrame:
+        # candidate docs only (candidates << corpus at scale), spread
+        # across the cluster before the per-doc shingle build: the text
+        # source may be a handful of scan partitions (one small file
+        # locally; one giant gzip at ingest), and the repartition moves
+        # only candidate-doc texts — never the corpus.
+        ids = cands.select(F.col(side).alias("doc_id")).distinct()
+        txts = docs.select("doc_id", text_col).join(ids, "doc_id")
+        return txts.repartition(par, "doc_id").select(
+            F.col("doc_id").alias(side),
+            F.array_distinct(
+                TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n)
+            ).alias(out),
+        )
 
     # single evaluation of the (expensive) array_intersect: materialize the
     # sizes once, derive jaccard from them
     sized = (
-        cands.join(a_txt, "doc_a")
-        .join(b_txt, "doc_b")
-        .withColumn("sh_a", _shingles(F.col("_text_a")))
-        .withColumn("sh_b", _shingles(F.col("_text_b")))
+        cands.join(_side_shingles("doc_a", "sh_a"), "doc_a")
+        .join(_side_shingles("doc_b", "sh_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
