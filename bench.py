@@ -240,6 +240,17 @@ def run_once() -> None:
         max_degree=32, build_beam_width=64, num_shards=num_shards, seed=42
     )
 
+    # untimed python-worker prewarm (r10, guide §4.5): the FIRST Arrow
+    # stage of a session forks the full worker pool and each worker
+    # imports pyspark.worker+pandas+numpy — measured ~8 s for one trivial
+    # 32-task mapInPandas wave on a quiet host. That is session fixed
+    # cost, not build cost; without this it lands entirely on ann_build
+    # (the first timed query). Same rationale as the post-ANN teardown
+    # barrier below; no query data is touched.
+    spark.range(int(CPUS) * 2).repartition(int(CPUS)).mapInPandas(
+        lambda it: (pdf for pdf in it), "id LONG"
+    ).count()
+
     timed("ann_build", lambda: build_index(vectors, idx_path, params))
     # warm() pre-materializes the shard broadcast: timed searches measure
     # query execution, not index load (reference QPS excludes open/mmap)

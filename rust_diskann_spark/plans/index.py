@@ -660,8 +660,9 @@ def build_index(
     )
     spark = vectors.sparkSession
 
-    dim = vector_src.validate_vectors(vectors)
-    n = vectors.count()
+    # one corpus pass: the validation aggregate already counts (r10 —
+    # the former separate vectors.count() was a second full read)
+    dim, n = vector_src.validate_vectors_stats(vectors)
     base = vectors.select("id", "vec")
     num_shards_eff = params.num_shards
     max_degree_eff = params.max_degree

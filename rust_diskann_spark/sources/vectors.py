@@ -38,6 +38,17 @@ def validate_vectors(df: DataFrame, dim: int | None = None) -> int:
     reference's ingest errors (lib.rs:180-190) and query-time dim assert
     (lib.rs:636-641).
     """
+    return validate_vectors_stats(df, dim)[0]
+
+
+def validate_vectors_stats(
+    df: DataFrame, dim: int | None = None
+) -> tuple[int, int]:
+    """:func:`validate_vectors` that also returns the row count from the
+    SAME aggregate — ``(dim, n)``. The validation scan already computes
+    count; callers that need both (build_index) previously paid a second
+    full corpus pass for ``df.count()`` (r10: one pass removed — at
+    100 TB that is a whole extra read of the table)."""
     agg = df.agg(
         F.min(F.size("vec")).alias("dmin"),
         F.max(F.size("vec")).alias("dmax"),
@@ -51,7 +62,7 @@ def validate_vectors(df: DataFrame, dim: int | None = None) -> int:
         )
     if dim is not None and agg["dmin"] != dim:
         raise ValueError(f"dimension mismatch: expected {dim}, got {agg['dmin']}")
-    return int(agg["dmin"])
+    return int(agg["dmin"]), int(agg["n"])
 
 
 def with_dense_ids(
