@@ -431,7 +431,12 @@ def dedup_components(
         new_labels = labels.join(nbr_min, "id", "left").select(
             "id", F.least("lab", "nbr_lab").alias("lab"), F.col("lab").alias("old_lab")
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the changed-count action below materializes it,
+        # so each round is ONE job (eager=True ran a separate checkpoint
+        # job first and then a second job for the count — one extra
+        # full barrier per round); lineage is cut identically once
+        # materialized
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("lab") < F.col("old_lab")).count()
         labels = new_labels.select("id", "lab")
         if changed == 0:

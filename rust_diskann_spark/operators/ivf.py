@@ -267,13 +267,25 @@ def ivf_sampled_knn(
     )
     base = _base(vectors, "id", "vec")
     d_assign = distance_expr(metric, F.col("vec"), F.col("centroid"))
-    w_assign = Window.partitionBy("id").orderBy("ad", "cell")
+    # argmin by (distance, cell) via map-side-combined min_by, not a
+    # row_number window: the broadcast cross-join emits n_cells rows per
+    # vector IN THE SAME PARTITION, so the partial aggregate collapses
+    # them to one row before the exchange — the shuffle carries n rows
+    # instead of n x n_cells rows each dragging the full vector (r10,
+    # guide §2.3). (ad, cell) is unique per id (cell differs), so the
+    # lexicographic struct min is exactly the window's (ad, cell) rank-1
+    # row — the DuckDB oracle pins the equivalence.
     assigned = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("ad", d_assign)
-        .withColumn("arank", F.row_number().over(w_assign))
-        .filter(F.col("arank") == 1)
-        .select("cell", "id", "vec")
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cell"), F.col("vec")),
+                F.struct(F.col("ad"), F.col("cell")),
+            ).alias("m")
+        )
+        .select(F.col("m.cell").alias("cell"), "id", F.col("m.vec").alias("vec"))
     )
     q = queries.select(
         F.col(qid_col).cast("long").alias("query_id"),
