@@ -817,10 +817,31 @@ def embedding_near_duplicates_lsh(
     )
     # verify only candidate pairs: join the (small) pair table back to the
     # vectors — AQE broadcasts the candidate side, so the corpus streams
-    # through a hash probe and only matched rows evaluate the cosine
-    a_vec = ided.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va"))
-    b_vec = ided.select(F.col("doc_id").alias("id_b"), F.col("v").alias("vb"))
-    sim = F.lit(1.0) - distance_expr("cosine", F.col("va"), F.col("vb"))
+    # through a hash probe and only matched rows evaluate the cosine.
+    # Norms are hoisted per DOC below the join (the exact_knn pattern,
+    # functions/distance.cosine_expr_with_norms — identical double
+    # arithmetic): the threshold filter's pushdown duplicates the
+    # projection's expressions, so keeping only the dot fold above the
+    # join halves the duplicated work (norm folds run once per doc, not
+    # twice per pair).
+    from rust_diskann_spark.functions.distance import (
+        cosine_expr_with_norms,
+        norm_expr,
+    )
+
+    a_vec = ided.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("v").alias("va"),
+        norm_expr(F.col("v")).alias("__na"),
+    )
+    b_vec = ided.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        norm_expr(F.col("v")).alias("__nb"),
+    )
+    sim = F.lit(1.0) - cosine_expr_with_norms(
+        F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+    )
     return (
         cand.join(a_vec, "id_a")
         .join(b_vec, "id_b")
