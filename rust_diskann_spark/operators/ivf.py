@@ -57,6 +57,33 @@ def _assign_map(cents: np.ndarray, metric: str):
     return fn
 
 
+def _probes_narrow(
+    q: DataFrame, cent_rows: list, metric: str, n_probe: int
+) -> DataFrame:
+    """(query_id, qv) -> (query_id, qv, cell): the ``n_probe`` nearest
+    cells per query as a NARROW projection. The centroid model is tiny
+    and already driver-resident, so each row ranks a literal array of
+    ``struct(cd, cell)`` candidates: ``array_sort``'s lexicographic
+    struct order is exactly the former window's ``orderBy(cd, cell)``
+    (ties impossible beyond cell — cell is unique), and the distance
+    fold is the identical ``distance_expr`` arithmetic, so the probe
+    set — and every oracle hash downstream — is unchanged while the
+    per-query cross-join + row_number window EXCHANGE disappears
+    (guide §2.1: remove shuffles outright). r10."""
+    cand = F.array(
+        *[
+            F.struct(
+                distance_expr(metric, F.col("qv"), F.lit(vec)).alias("cd"),
+                F.lit(int(cell)).cast("int").alias("cell"),
+            )
+            for cell, vec in cent_rows
+        ]
+    )
+    return q.withColumn(
+        "_p", F.explode(F.slice(F.array_sort(cand), 1, n_probe))
+    ).select("query_id", "qv", F.col("_p.cell").alias("cell"))
+
+
 PARTIAL_SCHEMA = "cell INT, n BIGINT, s ARRAY<DOUBLE>"
 
 
@@ -173,23 +200,15 @@ def ivf_search(
     (lib.rs:150-163). The corpus is equi-joined on ``cell`` against a
     broadcast probe list; the final distances are JVM-side SQL folds, so
     the full-probe variant hash-matches the exact-kNN oracle."""
-    spark = queries.sparkSession
     q = queries.select(
         F.col(qid_col).cast("long").alias("query_id"),
         F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("qv"),
     )
-    cdf = spark.createDataFrame(
+    probes = _probes_narrow(
+        q,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell INT, centroid ARRAY<DOUBLE>",
-    )
-    dprobe = distance_expr(metric, F.col("qv"), F.col("centroid"))
-    wprobe = Window.partitionBy("query_id").orderBy("cd", "cell")
-    probes = (
-        q.crossJoin(F.broadcast(cdf))
-        .withColumn("cd", dprobe)
-        .withColumn("crank", F.row_number().over(wprobe))
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "cell")
+        metric,
+        n_probe,
     )
     d = distance_expr(metric, F.col("qv"), F.col("vec"))
     scored = assigned.join(F.broadcast(probes), "cell").select(
@@ -248,58 +267,47 @@ def ivf_sampled_knn(
     remains the quality/scale path — this one pins the ROUTING + merge
     semantics end-to-end.
 
-    Assignment here is a broadcast cross-join + per-id window (exact
-    same ``distance_expr`` arithmetic as the oracle); the scale path's
-    narrow ``mapInPandas`` argmin (:func:`_assign_map`) is numerically
-    equivalent but fold-order-different, which matters only for this
-    oracle use."""
+    Assignment here is a narrow per-row argmin over the literal centroid
+    array (exact same ``distance_expr`` arithmetic as the oracle); the
+    scale path's ``mapInPandas`` argmin (:func:`_assign_map`) is
+    numerically equivalent but fold-order-different, which matters only
+    for this oracle use."""
     # centroids are n_cells rows: collect once and rebuild as a literal
     # DataFrame rather than persist (a persist here leaked one cached
     # table per call into executor storage — r3 ADVICE) or recompute (two
     # TakeOrdered scans of the corpus, one per cross-join below)
-    spark = vectors.sparkSession
     cent_rows = [
         (int(r["cell"]), [float(x) for x in r["centroid"]])
         for r in sampled_centroids_df(vectors, n_cells).collect()
     ]
-    cents = spark.createDataFrame(
-        cent_rows, "cell INT, centroid ARRAY<DOUBLE>"
-    )
     base = _base(vectors, "id", "vec")
-    d_assign = distance_expr(metric, F.col("vec"), F.col("centroid"))
-    # argmin by (distance, cell) via map-side-combined min_by, not a
-    # row_number window: the broadcast cross-join emits n_cells rows per
-    # vector IN THE SAME PARTITION, so the partial aggregate collapses
-    # them to one row before the exchange — the shuffle carries n rows
-    # instead of n x n_cells rows each dragging the full vector (r10,
-    # guide §2.3). (ad, cell) is unique per id (cell differs), so the
-    # lexicographic struct min is exactly the window's (ad, cell) rank-1
-    # row — the DuckDB oracle pins the equivalence.
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("ad", d_assign)
-        .groupBy("id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("cell"), F.col("vec")),
-                F.struct(F.col("ad"), F.col("cell")),
-            ).alias("m")
-        )
-        .select(F.col("m.cell").alias("cell"), "id", F.col("m.vec").alias("vec"))
+    # argmin by (distance, cell) as a NARROW per-row projection: the
+    # centroid model is a driver-side literal, so ``array_min`` over a
+    # literal array of struct(ad, cell) candidates picks the nearest
+    # cell with ZERO shuffle — replacing the r9 cross-join + row_number
+    # window (whose exchange was already n rows thanks to the partial
+    # WindowGroupLimit, but which still materialized and sorted
+    # n x n_cells rows per partition; guide §2.1). struct order compares
+    # (ad, cell) lexicographically — exactly the window's rank-1 row;
+    # the distance fold is the identical ``distance_expr`` arithmetic,
+    # so the DuckDB oracle hash pins the equivalence.
+    a_cand = F.array(
+        *[
+            F.struct(
+                distance_expr(metric, F.col("vec"), F.lit(vec)).alias("ad"),
+                F.lit(int(cell)).cast("int").alias("cell"),
+            )
+            for cell, vec in cent_rows
+        ]
+    )
+    assigned = base.select(
+        F.array_min(a_cand)["cell"].alias("cell"), "id", "vec"
     )
     q = queries.select(
         F.col(qid_col).cast("long").alias("query_id"),
         F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("qv"),
     )
-    d_probe = distance_expr(metric, F.col("qv"), F.col("centroid"))
-    w_probe = Window.partitionBy("query_id").orderBy("cd", "cell")
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("cd", d_probe)
-        .withColumn("crank", F.row_number().over(w_probe))
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "cell")
-    )
+    probes = _probes_narrow(q, cent_rows, metric, n_probe)
     d = distance_expr(metric, F.col("qv"), F.col("vec"))
     scored = assigned.join(F.broadcast(probes), "cell").select(
         "query_id", "id", d.alias("dist")
