@@ -276,9 +276,14 @@ def minhash_candidate_pairs(
     exact dedup first).
     """
     sigs = minhash_signatures(docs, text_col, n)
+    # packed band keys (struct of 2 longs) instead of the '|'-joined
+    # string: a bijection (see lsh_band_packed_expr), so the bucket
+    # partition — and therefore the pair set — is identical, but each
+    # shuffled band row is ~20 fixed-width bytes instead of ~43+ string
+    # bytes and the grouping compares longs (guide §2.3)
     bands = sigs.select(
         "doc_id",
-        F.posexplode(TX.lsh_band_keys_expr(F.col("signature"))).alias(
+        F.posexplode(TX.lsh_band_packed_expr(F.col("signature"))).alias(
             "band", "band_key"
         ),
     )

@@ -1,15 +1,16 @@
-"""r10: stage-level decomposition of minhash_lsh_pairs' cold cost.
+"""r10: A/B of the minhash LSH band-key representation.
 
-The r10 before-profile read 13.8 s cold / 0.74 s warm for
-minhash_lsh_pairs at sf0.1 while the r9 gated bench measured 2.97 s —
-before touching the bucket stage (ObjectHashAggregate collect_list x2)
-this script answers WHERE the cold seconds live: signature mapInPandas,
-band explode, bucket grouping, blocked pair expansion, or final
-distinct. Each stage is timed with the noop sink (guide §1.4), cold
-then warm in one bench-config session, with host probes before/after so
-a storm-contaminated reading is self-labelling.
+Old: '|'-joined string of the band's LSH_ROWS signature values
+(lsh_band_keys_expr). New: pairwise-packed longs in a struct
+(lsh_band_packed_expr). The packing is a bijection of the string key
+(signature entries are non-null longs < 2^31 - 1), so the bucket
+partition — and the candidate pair set — must be IDENTICAL; this script
+first PROVES that on the bench corpus (exact sorted-pair-set compare at
+the given SF), then times buckets+pairs both ways (noop sink, cold and
+warm, interleaved A/B/A/B so host weather hits both arms) with host
+probes bracketing the run.
 
-Usage: python scripts/minhash_stage_profile.py [out.json]
+Usage: python scripts/minhash_bandkey_ab.py [out.json]
 """
 
 from __future__ import annotations
@@ -38,12 +39,12 @@ def main() -> None:
     out_path = (
         sys.argv[1]
         if len(sys.argv) > 1
-        else os.path.join(REPO, "scale_runs_r10", "minhash_stages.json")
+        else os.path.join(REPO, "scale_runs_r10", "minhash_bandkey_ab.json")
     )
     pre = bench.host_calibration()
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("rds-minhash-stages")
+        .appName("rds-minhash-bandkey-ab")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -53,24 +54,23 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # untimed python-worker prewarm, mirroring bench.py
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id LONG"
     ).count()
 
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
-        "doc_id", "text"
-    )
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     corpus = docs.unionAll(dups)
 
-    def stage_dfs() -> dict:
+    def stages(key_expr_fn) -> dict:
         sigs = DD.minhash_signatures(corpus)
         bands = sigs.select(
             "doc_id",
-            F.posexplode(TX.lsh_band_packed_expr(F.col("signature"))).alias(
+            F.posexplode(key_expr_fn(F.col("signature"))).alias(
                 "band", "band_key"
             ),
         )
@@ -80,28 +80,53 @@ def main() -> None:
             .filter(F.size("ids") >= 2)
         )
         pairs = DD._blocked_bucket_pairs(buckets, with_simhash=False)
-        return {
-            "sigs": sigs,
-            "bands": bands,
-            "buckets": buckets,
-            "pairs": pairs,
-        }
+        return {"buckets": buckets, "pairs": pairs}
 
+    arms = {
+        "string": TX.lsh_band_keys_expr,
+        "packed": TX.lsh_band_packed_expr,
+    }
+
+    # --- equivalence proof: exact pair-set equality -----------------------
+    spark.sparkContext.setJobDescription("bandkey equivalence")
+    sets = {}
+    for name, fn in arms.items():
+        sets[name] = {
+            (r["doc_a"], r["doc_b"])
+            for r in stages(fn)["pairs"].distinct().collect()
+        }
+    identical = sets["string"] == sets["packed"]
+    print(
+        f"[ab] pair sets identical={identical} "
+        f"(string={len(sets['string'])}, packed={len(sets['packed'])})",
+        file=sys.stderr,
+    )
+    if not identical:
+        diff = sets["string"] ^ sets["packed"]
+        print(f"[ab] DIFF (up to 20): {sorted(diff)[:20]}", file=sys.stderr)
+
+    # --- timing: interleaved cold/warm ------------------------------------
     results: dict[str, dict] = {}
     for run in ("cold", "warm"):
-        dfs = stage_dfs()  # rebuilt lineage each run (codegen cache differs)
-        for name, df in dfs.items():
-            spark.sparkContext.setJobDescription(f"{name} {run}")
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            results.setdefault(name, {})[f"{run}_noop_sec"] = round(dt, 3)
-            print(f"[stages] {name:8s} {run} {dt:7.3f}s", file=sys.stderr)
+        for name, fn in arms.items():
+            dfs = stages(fn)  # rebuilt lineage each run
+            for st, df in dfs.items():
+                spark.sparkContext.setJobDescription(f"{name} {st} {run}")
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                results.setdefault(name, {})[f"{st}_{run}_sec"] = round(dt, 3)
+                print(
+                    f"[ab] {name:6s} {st:8s} {run} {dt:7.3f}s",
+                    file=sys.stderr,
+                )
     spark.stop()
     post = bench.host_calibration()
     doc = {
         "sf_dir": SF_DIR,
-        "stages": results,
+        "identical_pairs": identical,
+        "n_pairs": len(sets["packed"]),
+        "timing": results,
         "probe_pre": {
             "compute_ratio": round(bench.compute_ratio(pre), 3),
             "bw_ratio": round(bench.bw_ratio(pre), 3),
