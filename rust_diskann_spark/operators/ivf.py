@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_diskann_spark.functions.distance import distance_expr, numpy_distance_matrix
@@ -57,28 +57,50 @@ def _assign_map(cents: np.ndarray, metric: str):
     return fn
 
 
+def _cell_cand_expr(col: Column, cent_rows: list, metric: str) -> Column:
+    """``array<struct<d: double, cell: int>>`` of distances from ``col``
+    to every centroid, as ONE ``transform`` over ONE literal centroid
+    matrix. Semantically identical to building n_cells independent
+    ``struct(distance_expr(col, lit(centroid_i)), i)`` entries — the
+    distance fold is the same ``distance_expr`` arithmetic and the cell
+    index is the array position (cent_rows is sorted by cell; cells are
+    contiguous 0..n-1 by construction in both centroid sources) — but
+    the expression tree holds ONE distance fold instead of n_cells
+    copies, which cuts Catalyst analysis/optimization cost ~n_cells x
+    per plan (r10: the 8-fold literal tree measured ~0.6-0.9 s of
+    driver-side planning per construction, re-paid on every AQE
+    re-optimization; one fold plans like the r9 window shape while
+    keeping zero exchanges)."""
+    cents = sorted(cent_rows)
+    cells = [int(c) for c, _ in cents]
+    if cells != list(range(len(cells))):
+        raise AssertionError(
+            f"_cell_cand_expr: non-contiguous cell ids {cells!r}"
+        )
+    cmat = F.array(*[F.lit([float(x) for x in v]) for _, v in cents])
+    return F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            distance_expr(metric, col, c).alias("d"),
+            i.cast("int").alias("cell"),
+        ),
+    )
+
+
 def _probes_narrow(
     q: DataFrame, cent_rows: list, metric: str, n_probe: int
 ) -> DataFrame:
     """(query_id, qv) -> (query_id, qv, cell): the ``n_probe`` nearest
     cells per query as a NARROW projection. The centroid model is tiny
-    and already driver-resident, so each row ranks a literal array of
-    ``struct(cd, cell)`` candidates: ``array_sort``'s lexicographic
+    and already driver-resident, so each row ranks the
+    :func:`_cell_cand_expr` candidates: ``array_sort``'s lexicographic
     struct order is exactly the former window's ``orderBy(cd, cell)``
     (ties impossible beyond cell — cell is unique), and the distance
     fold is the identical ``distance_expr`` arithmetic, so the probe
     set — and every oracle hash downstream — is unchanged while the
     per-query cross-join + row_number window EXCHANGE disappears
     (guide §2.1: remove shuffles outright). r10."""
-    cand = F.array(
-        *[
-            F.struct(
-                distance_expr(metric, F.col("qv"), F.lit(vec)).alias("cd"),
-                F.lit(int(cell)).cast("int").alias("cell"),
-            )
-            for cell, vec in cent_rows
-        ]
-    )
+    cand = _cell_cand_expr(F.col("qv"), cent_rows, metric)
     return q.withColumn(
         "_p", F.explode(F.slice(F.array_sort(cand), 1, n_probe))
     ).select("query_id", "qv", F.col("_p.cell").alias("cell"))
@@ -291,15 +313,7 @@ def ivf_sampled_knn(
     # (ad, cell) lexicographically — exactly the window's rank-1 row;
     # the distance fold is the identical ``distance_expr`` arithmetic,
     # so the DuckDB oracle hash pins the equivalence.
-    a_cand = F.array(
-        *[
-            F.struct(
-                distance_expr(metric, F.col("vec"), F.lit(vec)).alias("ad"),
-                F.lit(int(cell)).cast("int").alias("cell"),
-            )
-            for cell, vec in cent_rows
-        ]
-    )
+    a_cand = _cell_cand_expr(F.col("vec"), cent_rows, metric)
     assigned = base.select(
         F.array_min(a_cand)["cell"].alias("cell"), "id", "vec"
     )
