@@ -10,6 +10,14 @@ Headline set (mirrors BASELINE.md's axes):
 - exact_knn        brute-force oracle path
 - dedup + text     the training-data pipeline ops at the documents scale
 - relational       pricing summary + sessionization
+
+Untimed vs timed (r10 VERDICT item #5): the harness persists the ANN
+inputs (``vectors``, ``tiled_queries``) and prewarms the Python worker
+pool OUTSIDE the timed regions — those warm only the ann_build /
+ann_search inputs, which is the production serving regime (an index
+builder never re-reads its staged input cold per build). The 23 entry
+queries read fresh from ``$SPARK_GRAFT_SF_DIR`` inside their own timed
+regions and share nothing with the warmed inputs.
 """
 
 from __future__ import annotations
@@ -322,6 +330,19 @@ def run_once() -> None:
 
     r_pre, r_post = compute_ratio(calib), compute_ratio(calib_post)
     calib_ratio = (r_pre * r_post) ** 0.5
+    # r11 (VERDICT r10 item #1): per-query normalization from the
+    # interleaved probes. Each query's raw seconds divided by the geomean
+    # COMPUTE ratio of its two surrounding probes — the same r4-anchor
+    # normalization of record the headline uses, applied at the only
+    # granularity the storms actually respect (r10: three orchestrator
+    # attempts all whole-run-invalid while individual queries sat in
+    # quiet windows). Additions-only: raw `queries` and its semantics are
+    # unchanged; a stormy run still yields a defensible per-query number
+    # and `queries_bw_ratio` + `queries_valid` let readers filter.
+    queries_normalized = {}
+    for name, (pre, post) in query_probes.items():
+        gq = (compute_ratio(pre) * compute_ratio(post)) ** 0.5
+        queries_normalized[name] = round(timings[name] / gq, 3)
     # r9: the validity flag requires the bandwidth axis quiet too — r8's
     # +11% drift on untouched bandwidth-bound queries passed the old
     # compute-agreement check (VERDICT r8 "What's wrong" #1)
@@ -345,6 +366,19 @@ def run_once() -> None:
                     name: round(max(bw_ratio(pre), bw_ratio(post)), 3)
                     for name, (pre, post) in query_probes.items()
                 },
+                "queries_normalized": queries_normalized,
+                # sum of the per-query compute-normalized times — the
+                # storm-robust cross-round headline (r11; the whole-run
+                # `headline_total_normalized` below keeps its original
+                # gated semantics)
+                "headline_total_normalized_perq": round(
+                    sum(queries_normalized.values()), 3
+                ),
+                # r10 bench moved ~8 s of one-time python-worker-pool
+                # fork out of ann_build's timed region (untimed prewarm);
+                # self-describing flag so no cross-round table ever
+                # credits that 8 s as an ann_build win (VERDICT r10 #8)
+                "ann_build_excludes_session_warmup": True,
                 "sf": sf,
                 "ann_recall_at_10": round(recall, 5),
                 "ann_qps": qps,
@@ -385,14 +419,16 @@ def main() -> None:
     The chosen attempt is printed as the single stdout JSON line with an
     ``attempts`` trail appended, so the driver parses exactly one record
     and the judge can see how the window was obtained. Knobs:
-    RDS_BENCH_ATTEMPTS (3), RDS_BENCH_QUIET_WAIT (300 s per attempt),
-    RDS_BENCH_MAX_WALL (1800 s overall). Worst case adds ~15 min; the
-    common quiet-window case adds one ~1 s probe."""
+    RDS_BENCH_ATTEMPTS (3), RDS_BENCH_QUIET_WAIT (600 s per attempt),
+    RDS_BENCH_MAX_WALL (3600 s overall). Worst case adds ~30 min; the
+    common quiet-window case adds one ~1 s probe. (r11: waits doubled —
+    every r10 attempt fired into a storm inside the old 300 s budget,
+    VERDICT r10 item #1.)"""
     import subprocess
 
     attempts_max = int(os.environ.get("RDS_BENCH_ATTEMPTS", "3"))
-    quiet_wait = float(os.environ.get("RDS_BENCH_QUIET_WAIT", "300"))
-    max_wall = float(os.environ.get("RDS_BENCH_MAX_WALL", "1800"))
+    quiet_wait = float(os.environ.get("RDS_BENCH_QUIET_WAIT", "600"))
+    max_wall = float(os.environ.get("RDS_BENCH_MAX_WALL", "3600"))
     gate = 1.25  # the slice gate every other harness uses for validity
     t0 = time.time()
     trail: list[dict] = []

@@ -153,7 +153,18 @@ def main() -> None:
             "compute_ratio": round(bench.compute_ratio(post), 3),
             "bw_ratio": round(bench.bw_ratio(post), 3),
         },
-        "valid": bench.probes_quiet(pre, 1.25) and bench.probes_quiet(post, 1.25),
+        # r11 (VERDICT r10 item #7): validity ANDs over EVERY probe,
+        # including the mid-run ones — the r10 run carried 8-12.7x
+        # bandwidth storms between reps while the endpoint-only flag
+        # read true
+        "valid": (
+            bench.probes_quiet(pre, 1.25)
+            and bench.probes_quiet(post, 1.25)
+            and all(
+                p["compute_ratio"] <= 1.25 and p["bw_ratio"] <= bench.BW_GATE
+                for p in probes_mid
+            )
+        ),
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:

@@ -88,6 +88,7 @@ def main() -> None:
         }
 
     results: dict[str, dict] = {}
+    probes_mid: list[dict] = []
     for run in ("cold", "warm"):
         dfs = stage_dfs()  # rebuilt lineage each run (codegen cache differs)
         for name, df in dfs.items():
@@ -97,8 +98,9 @@ def main() -> None:
             dt = time.perf_counter() - t0
             results.setdefault(name, {})[f"{run}_noop_sec"] = round(dt, 3)
             print(f"[stages] {name:8s} {run} {dt:7.3f}s", file=sys.stderr)
+        probes_mid.append(bench.host_calibration())
     spark.stop()
-    post = bench.host_calibration()
+    post = probes_mid.pop()  # last per-pass probe doubles as the endpoint
     doc = {
         "sf_dir": SF_DIR,
         "stages": results,
@@ -106,11 +108,21 @@ def main() -> None:
             "compute_ratio": round(bench.compute_ratio(pre), 3),
             "bw_ratio": round(bench.bw_ratio(pre), 3),
         },
+        "probes_mid": [
+            {
+                "compute_ratio": round(bench.compute_ratio(c), 3),
+                "bw_ratio": round(bench.bw_ratio(c), 3),
+            }
+            for c in probes_mid
+        ],
         "probe_post": {
             "compute_ratio": round(bench.compute_ratio(post), 3),
             "bw_ratio": round(bench.bw_ratio(post), 3),
         },
-        "valid": bench.probes_quiet(pre, 1.25) and bench.probes_quiet(post, 1.25),
+        # r11 (VERDICT r10 item #7): AND over every probe incl. mid-run
+        "valid": all(
+            bench.probes_quiet(c, 1.25) for c in [pre, *probes_mid, post]
+        ),
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
