@@ -306,13 +306,14 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified by exact n-gram Jaccard: (doc_a, doc_b,
     jaccard). The verify stage touches only candidate pairs — AND only
-    candidate ROWS: the joins carry raw text and the shingle arrays (the
-    expensive per-doc state, a full tokenize + n-gram build carrying long
-    string arrays) are computed AFTER the join, i.e. once per candidate
-    pair side, never for the corpus at large. At scale candidates <<
-    corpus, so the verifier's dominant cost is O(|candidate pairs|), not
-    O(corpus) (r4 verdict: the verify constant factor, previously two
-    full-corpus shingle scans through the join)."""
+    candidate ROWS: the shingle arrays (the expensive per-doc state, a
+    full tokenize + n-gram build) are computed exactly once per DISTINCT
+    candidate doc, in int64-hashed form, behind a semi-join that drops
+    non-candidate corpus rows before any tokenization. At scale
+    candidates << corpus, so the verifier's dominant cost is
+    O(|candidate docs|) shingle builds + O(|candidate pairs|) long-array
+    intersects, not O(corpus) (r4 verdict: the verify constant factor,
+    previously two full-corpus shingle scans through the join)."""
     # r10 shape: per-DOC shingle tables attached to the pair table through
     # join barriers (guide §8's "decide with small rows" applied to the
     # verifier). The former shape joined raw text to each pair and built
@@ -335,7 +336,12 @@ def minhash_near_duplicates(
     # input). Without it the pair table is localCheckpoint'ed once (it is
     # referenced three times below; re-deriving the signature lineage per
     # reference would triple the expensive stage — dedup_components sets
-    # the precedent for an internal checkpoint).
+    # the precedent for an internal checkpoint). NOTE (public contract):
+    # that internal checkpoint is EAGER — calling this function with
+    # ``candidates=None`` runs the candidate-generation Spark jobs at
+    # plan-construction time, and the checkpointed blocks stay pinned in
+    # executor storage for the session (pass ``candidates`` to keep full
+    # control of materialization/unpersist).
     if candidates is not None:
         cands = candidates
     else:
@@ -344,26 +350,61 @@ def minhash_near_duplicates(
         )
     par = docs.sparkSession.sparkContext.defaultParallelism
 
-    def _side_shingles(side: str, out: str) -> DataFrame:
-        # candidate docs only (candidates << corpus at scale), spread
-        # across the cluster before the per-doc shingle build: the text
-        # source may be a handful of scan partitions (one small file
-        # locally; one giant gzip at ingest), and the repartition moves
-        # only candidate-doc texts — never the corpus.
-        ids = cands.select(F.col(side).alias("doc_id")).distinct()
-        txts = docs.select("doc_id", text_col).join(ids, "doc_id")
-        return txts.repartition(par, "doc_id").select(
-            F.col("doc_id").alias(side),
+    # ONE shingle table over the union of both pair sides (r11; guide
+    # §2.3/§3.2). The r10 shape built a per-SIDE shingle table, so a doc
+    # appearing as both a-side and b-side (the common case — near-dup
+    # graphs are dense) was tokenized + shingled twice, and the corpus
+    # text was scanned once per side. Now: one semi-join of the corpus
+    # against the distinct candidate ids (the §3.2 pre-filter — the
+    # shingle build runs only for rows that survive the broadcast hash
+    # probe), one shingle build, lazily localCheckpoint'ed so BOTH pair
+    # joins read the materialized blocks instead of re-deriving the
+    # lineage (plan-level sharing would otherwise duplicate the subtree).
+    #
+    # Shingles are hashed to int64 via xxhash64 before the set algebra
+    # (guide §2.3, narrower types: the same discipline as the packed LSH
+    # band keys): the arrays that cross the pair joins carry 8 fixed
+    # bytes per shingle instead of ~20+ variable string bytes, and
+    # array_distinct/array_intersect compare longs instead of strings.
+    # n-gram shingle sets are tiny against the 64-bit hash space
+    # (P[collision] ~ s^2/2^65 per doc pair — ~1e-12 at s=10^3), and the
+    # DuckDB oracle pins the jaccard outputs unchanged at every SF.
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # candidate docs only (candidates << corpus at scale), spread across
+    # the cluster before the per-doc shingle build: the text source may
+    # be a handful of scan partitions (one small file locally; one giant
+    # gzip at ingest), and the repartition moves only candidate-doc
+    # texts — never the corpus.
+    txts = docs.select("doc_id", text_col).join(ids, "doc_id")
+    sh = (
+        txts.repartition(par, "doc_id")
+        .select(
+            "doc_id",
             F.array_distinct(
-                TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n)
-            ).alias(out),
+                F.transform(
+                    TX.word_ngrams_expr(TX.tokens_expr(F.col(text_col)), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
         )
+        .localCheckpoint(eager=False)
+    )
 
     # single evaluation of the (expensive) array_intersect: materialize the
     # sizes once, derive jaccard from them
     sized = (
-        cands.join(_side_shingles("doc_a", "sh_a"), "doc_a")
-        .join(_side_shingles("doc_b", "sh_b"), "doc_b")
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
