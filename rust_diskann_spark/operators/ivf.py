@@ -24,6 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -34,6 +35,19 @@ from pyspark.sql import functions as F
 from rust_diskann_spark.functions.distance import distance_expr, numpy_distance_matrix
 
 ASSIGNED_SCHEMA = "cell INT, id BIGINT, vec ARRAY<DOUBLE>"
+
+# Cap on the centroid model embedded as a PLAN LITERAL (n_cells x dim
+# doubles). The literal-transform routing/assignment (r10) removes every
+# exchange but re-serializes the whole matrix into each task binary and
+# re-analyzes it on every AQE re-optimization — fine at the declared
+# queries' 8 cells, wrong at 100 TB where n_cells grows into the
+# thousands (r10 VERDICT "what's wrong" #2: multi-MB plans). Above this
+# many ELEMENTS the model travels inside a mapInPandas closure instead
+# (the same transport :func:`_assign_map` has always used for the
+# kmeans scale path), keeping plan size O(1) in n_cells. 16384 elements
+# ≈ 128 KB of doubles — comfortably past every oracle path (8 x dim)
+# while bounding Catalyst work. Env-overridable for A/B sweeps only.
+_IVF_LITERAL_MAX = int(os.environ.get("RDS_IVF_LITERAL_MAX", "16384"))
 
 
 def _base(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -74,7 +88,9 @@ def _cell_cand_expr(col: Column, cent_rows: list, metric: str) -> Column:
     cents = sorted(cent_rows)
     cells = [int(c) for c, _ in cents]
     if cells != list(range(len(cells))):
-        raise AssertionError(
+        # ValueError like the library's other input validation (r10
+        # ADVICE: AssertionError read as an internal invariant failure)
+        raise ValueError(
             f"_cell_cand_expr: non-contiguous cell ids {cells!r}"
         )
     cmat = F.array(*[F.lit([float(x) for x in v]) for _, v in cents])
@@ -85,6 +101,31 @@ def _cell_cand_expr(col: Column, cent_rows: list, metric: str) -> Column:
             i.cast("int").alias("cell"),
         ),
     )
+
+
+def _route_map(cents: np.ndarray, metric: str, n_probe: int):
+    """mapInPandas probe routing for LARGE centroid models: the matrix
+    travels once per task inside the closure (like :func:`_assign_map`),
+    never as a plan literal. Emits the ``n_probe`` (distance, cell)-
+    nearest cells per query; ``argsort(kind='stable')`` breaks distance
+    ties by cell asc — the same total order as the literal path's
+    struct sort, up to float fold order (numpy BLAS vs the SQL
+    ``aggregate`` fold), which is why the oracle-pinned small-model
+    paths stay on the literal expression below the threshold."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["qv"].to_numpy())
+            d = numpy_distance_matrix(metric, mat, cents)
+            n_p = min(n_probe, d.shape[1])
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n_p]
+            out = pdf.loc[pdf.index.repeat(n_p)].reset_index(drop=True)
+            out = out.assign(cell=idx.reshape(-1).astype(np.int32))
+            yield out[["query_id", "qv", "cell"]]
+
+    return fn
 
 
 def _probes_narrow(
@@ -99,7 +140,25 @@ def _probes_narrow(
     fold is the identical ``distance_expr`` arithmetic, so the probe
     set — and every oracle hash downstream — is unchanged while the
     per-query cross-join + row_number window EXCHANGE disappears
-    (guide §2.1: remove shuffles outright). r10."""
+    (guide §2.1: remove shuffles outright). r10.
+
+    Above ``_IVF_LITERAL_MAX`` total elements the centroid model is too
+    big to live in the plan (r11; see the constant's comment): routing
+    switches to :func:`_route_map` — still zero exchanges, same
+    (distance, cell) ordering, plan size independent of n_cells."""
+    cents = sorted(cent_rows)
+    n_elems = len(cents) * (len(cents[0][1]) if cents else 0)
+    if n_elems > _IVF_LITERAL_MAX:
+        cells = [int(c) for c, _ in cents]
+        if cells != list(range(len(cells))):
+            raise ValueError(
+                f"_probes_narrow: non-contiguous cell ids {cells!r}"
+            )
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        return q.mapInPandas(
+            _route_map(cmat, metric, n_probe),
+            "query_id BIGINT, qv ARRAY<DOUBLE>, cell INT",
+        )
     cand = _cell_cand_expr(F.col("qv"), cent_rows, metric)
     return q.withColumn(
         "_p", F.explode(F.slice(F.array_sort(cand), 1, n_probe))
@@ -313,10 +372,24 @@ def ivf_sampled_knn(
     # (ad, cell) lexicographically — exactly the window's rank-1 row;
     # the distance fold is the identical ``distance_expr`` arithmetic,
     # so the DuckDB oracle hash pins the equivalence.
-    a_cand = _cell_cand_expr(F.col("vec"), cent_rows, metric)
-    assigned = base.select(
-        F.array_min(a_cand)["cell"].alias("cell"), "id", "vec"
-    )
+    # same plan-size bound as _probes_narrow (r11): above the literal
+    # cap the assignment rides the kmeans scale path's mapInPandas
+    # argmin (closure-shipped matrix, zero plan growth); np.argmin's
+    # first-minimum rule is the same (distance, cell-asc) tie-break as
+    # the struct array_min, up to float fold order — the oracle-pinned
+    # declared paths (n_cells=8) stay on the literal expression.
+    if n_cells * len(cent_rows[0][1]) > _IVF_LITERAL_MAX:
+        cmat = np.array(
+            [v for _, v in sorted(cent_rows)], dtype=np.float64
+        )
+        assigned = base.mapInPandas(
+            _assign_map(cmat, metric), ASSIGNED_SCHEMA
+        )
+    else:
+        a_cand = _cell_cand_expr(F.col("vec"), cent_rows, metric)
+        assigned = base.select(
+            F.array_min(a_cand)["cell"].alias("cell"), "id", "vec"
+        )
     q = queries.select(
         F.col(qid_col).cast("long").alias("query_id"),
         F.transform(F.col(qvec_col), lambda x: x.cast("double")).alias("qv"),

@@ -61,6 +61,53 @@ def test_kmeans_deterministic(corpus):
     assert np.allclose(c1, c2)
 
 
+def test_literal_cap_bounds_plan_and_preserves_results(
+    corpus, queries, monkeypatch
+):
+    """r11: above _IVF_LITERAL_MAX the centroid model must leave the
+    plan (closure-shipped mapInPandas routing/assignment) and results
+    must not change. 8 cells x dim 64 = 512 elements; a cap of 256
+    forces the big-model path on the same data, so the two arms are
+    directly comparable."""
+    import re
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    lit = ivf.ivf_sampled_knn(queries, corpus, K, n_cells=8, n_probe=2)
+    p_lit = plan(lit)
+
+    monkeypatch.setattr(ivf, "_IVF_LITERAL_MAX", 256)
+    big = ivf.ivf_sampled_knn(queries, corpus, K, n_cells=8, n_probe=2)
+    p_big = plan(big)
+
+    # the literal arm embeds centroid doubles in the plan; the capped
+    # arm must not (no multi-element double literals, MapInPandas nodes
+    # instead) and its plan must stay small regardless of n_cells
+    assert p_big.count("MapInPandas") >= 2  # routing + assignment
+    assert len(p_big) < len(p_lit)
+    assert not re.search(r"\[[-0-9.Ee, ]{200,}\]", p_big)
+
+    a = {(r["query_id"], r["rank"]): r["id"] for r in lit.collect()}
+    b = {(r["query_id"], r["rank"]): r["id"] for r in big.collect()}
+    assert a == b
+
+
+def test_literal_cap_noncontiguous_cells_raise(corpus, queries, monkeypatch):
+    monkeypatch.setattr(ivf, "_IVF_LITERAL_MAX", 1)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        ivf._probes_narrow(
+            queries.select(
+                F.col("query_id"), F.col("qvec").alias("qv")
+            ),
+            [(0, [0.0, 1.0]), (2, [1.0, 0.0])],
+            "l2",
+            1,
+        )
+
+
 def test_cosine_fullprobe_equals_exact(corpus, queries):
     approx = ivf.ivf_knn(queries, corpus, K, metric="cosine", n_cells=4, n_probe=4, iters=1)
     exact = exact_knn(queries, corpus, K, "cosine")
