@@ -378,7 +378,7 @@ def ivf_sampled_knn(
     # first-minimum rule is the same (distance, cell-asc) tie-break as
     # the struct array_min, up to float fold order — the oracle-pinned
     # declared paths (n_cells=8) stay on the literal expression.
-    if n_cells * len(cent_rows[0][1]) > _IVF_LITERAL_MAX:
+    if cent_rows and n_cells * len(cent_rows[0][1]) > _IVF_LITERAL_MAX:
         cmat = np.array(
             [v for _, v in sorted(cent_rows)], dtype=np.float64
         )
