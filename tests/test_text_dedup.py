@@ -58,6 +58,33 @@ def test_minhash_near_duplicates_verified(docs):
     assert got[(0, 1)] == 1.0
 
 
+def test_minhash_verify_hashed_shingles_exact_jaccard(docs):
+    """r11 verify internals: shingles are xxhash64-int64 and built ONCE
+    over the union of both candidate sides behind a candidate-id
+    semi-join. The jaccard must still equal the exact string-shingle
+    jaccard for every explicitly passed candidate pair (threshold=0.0
+    keeps non-dup pairs, exercising n_inter=0 and the shared-doc case:
+    doc 0 appears on the a-side of two pairs)."""
+    cands = docs.sparkSession.createDataFrame(
+        [(0, 1), (0, 2), (2, 3)], "doc_a LONG, doc_b LONG"
+    )
+    rows = DD.minhash_near_duplicates(
+        docs, threshold=0.0, candidates=cands
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    texts = dict(DOCS)
+
+    def shingles(t):
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    assert set(got) == {(0, 1), (0, 2), (2, 3)}
+    for (a, b), j in got.items():
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        exp = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert abs(j - exp) < 1e-9, (a, b, j, exp)
+
+
 def test_simhash_properties(docs):
     sh = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
     assert sh[0] == sh[1]
