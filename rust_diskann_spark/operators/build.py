@@ -58,12 +58,26 @@ def assign_shards(
     :func:`_cap_split_cells` (r3: the straggler backstop the merged path
     already had), so the returned shard ids are dense 0..n_units-1 and
     n_units may EXCEED ``num_shards`` — callers recording shard counts
-    must count the output (build_index does), not trust the request.
+    use :func:`assign_shards_counted` (build_index does), not the
+    request.
     """
     if shard_by == "hash":
         return vectors.withColumn(
             "shard", (F.col("id") % F.lit(num_shards)).cast("int")
         )
+    return assign_shards_counted(vectors, num_shards, metric, seed)[0]
+
+
+def assign_shards_counted(
+    vectors: DataFrame, num_shards: int, metric: str = "l2", seed: int = 42
+) -> tuple[DataFrame, int]:
+    """kmeans :func:`assign_shards` plus the DENSE UNIT COUNT, which the
+    cap-split numbering already knows driver-side (every unit is
+    non-empty by construction, so n_units == max(shard)+1). Callers that
+    need the effective shard count read it here instead of re-running
+    the whole assignment lineage through a ``max("shard")`` aggregate —
+    that agg was one extra full corpus pass (scan + argmin) per build
+    (r11, guide §1.2: don't recompute what the driver already holds)."""
     if metric == "hamming":
         raise ValueError("kmeans sharding requires a float metric (l2/cosine/dot)")
     from rust_diskann_spark.functions.distance import numpy_distance_matrix
@@ -89,7 +103,7 @@ def assign_shards(
     assigned = vectors.select("id", "vec").mapInPandas(
         assign_fn, f"cell INT, id BIGINT, vec {vec_type}"
     )
-    return _cap_split_cells(assigned, num_shards, seed)
+    return _cap_split_cells_counted(assigned, num_shards, seed)
 
 
 def assign_shards_overlapped(
@@ -173,6 +187,12 @@ def assign_shards_overlapped(
 def _cap_split_cells(
     assigned: DataFrame, n_cells: int, seed: int
 ) -> DataFrame:
+    return _cap_split_cells_counted(assigned, n_cells, seed)[0]
+
+
+def _cap_split_cells_counted(
+    assigned: DataFrame, n_cells: int, seed: int
+) -> tuple[DataFrame, int]:
     """(cell, id, vec) -> (shard, id, vec) with every oversized k-means
     cell hash-split into subcells and units densely renumbered
     0..n_units-1 (all non-empty). k-means cells on clustered data are
@@ -204,7 +224,8 @@ def _cap_split_cells(
         )
         return (
             assigned.withColumn("shard", cell_to_unit[F.col("cell")].cast("int"))
-            .select("shard", "id", "vec")
+            .select("shard", "id", "vec"),
+            len(unit_id),
         )
     nsplit_col = F.coalesce(
         F.create_map(
@@ -227,7 +248,8 @@ def _cap_split_cells(
     )
     return (
         assigned.withColumn("shard", mapping[key].cast("int"))
-        .select("shard", "id", "vec")
+        .select("shard", "id", "vec"),
+        len(unit_id),
     )
 
 

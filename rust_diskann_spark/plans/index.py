@@ -720,21 +720,37 @@ def build_index(
         sharded = base.withColumn("shard", F.lit(0).cast("int"))
         num_shards_eff = 1
         max_degree_eff = overlap * params.max_degree
+        index_store.write_index_tables(path, sharded, graph)
     else:
-        sharded = build_ops.assign_shards(
-            base, params.num_shards, params.shard_by, params.metric, params.seed
-        )
         if params.shard_by == "kmeans":
             # the straggler cap-split may have produced MORE units than
             # requested (dense 0..n_units-1); metadata must record the
             # actual count or the cogrouped search's synthesized shard
-            # range would silently skip the extras
-            num_shards_eff = (
-                int(sharded.agg(F.max("shard")).collect()[0][0] or 0) + 1
+            # range would silently skip the extras. The count comes from
+            # the cap-split's own dense numbering (driver-side) — the
+            # former max("shard") aggregate re-ran the whole assignment
+            # lineage, one extra full corpus pass per build (r11, §1.2)
+            sharded, num_shards_eff = build_ops.assign_shards_counted(
+                base, params.num_shards, params.metric, params.seed
             )
-        graph = build_ops.build_graph(sharded, params)
+        else:
+            sharded = build_ops.assign_shards(
+                base, params.num_shards, params.shard_by, params.metric,
+                params.seed,
+            )
+        # lineage cut (r11; the merged path's graph_shards write is the
+        # precedent): the assignment lineage feeds BOTH the vectors table
+        # and the graph build — write vectors first and build the graph
+        # from the re-read, so the corpus scan + kmeans argmin runs once
+        # instead of once per consumer, and the graph tasks read a
+        # pruned columnar scan already laid out by shard
+        index_store.write_vectors_table(path, sharded)
+        v_for_graph = spark.read.parquet(
+            os.path.join(path, "vectors.parquet")
+        ).select("shard", "id", "vec")
+        graph = build_ops.build_graph(v_for_graph, params)
+        index_store.write_graph_table(path, graph)
 
-    index_store.write_index_tables(path, sharded, graph)
     # re-read so downstream plans scan parquet (pruned, pushed-down) rather
     # than recompute the build lineage
     v_df, g_df = index_store.read_index_tables(spark, path)

@@ -94,9 +94,20 @@ def validate_metadata(meta: IndexMetadata, elem_type: str, metric: str | None) -
 def write_index_tables(path: str, vectors: DataFrame, graph: DataFrame) -> None:
     """Persist vectors + graph partitioned by shard (partition pruning is
     the scan-time analog of the reference's mmap lazy page-in)."""
+    write_vectors_table(path, vectors)
+    write_graph_table(path, graph)
+
+
+def write_vectors_table(path: str, vectors: DataFrame) -> None:
+    """The vectors half of :func:`write_index_tables` — build_index
+    writes it FIRST and builds the graph from the re-read, so the shard
+    assignment lineage runs once instead of once per consumer (r11)."""
     vectors.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(path, "vectors.parquet")
     )
+
+
+def write_graph_table(path: str, graph: DataFrame) -> None:
     graph.write.mode("overwrite").partitionBy("shard").parquet(
         os.path.join(path, "graph.parquet")
     )
