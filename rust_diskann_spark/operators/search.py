@@ -653,8 +653,11 @@ def group_shards_by_routing(
     distance (scale_runs_r9/probe_curve_5m.json: probes/query flat at
     mean 5.94 for every tau in [0.05, 0.50] — the pieces ARE the probe
     set). Serving cost is then ~6 beam searches + ~6 task dispatches per
-    query. Grouping co-probed pieces into one unioned sub-graph
-    (shard_cache.merge_tuples) collapses that to ~1.
+    query. Grouping co-probed pieces under ONE TASK collapses the
+    dispatch side to ~1; the kernel calls stay per-piece (the r10
+    union-sub-graph design was cut after the r11 gated 5M measurement
+    showed its shared beam collapses recall — see
+    :func:`grouped_scan_search`).
 
     Rule: min-linkage distance between shard routing sets, thresholded
     by the SAME auto-probe geometry — shards u,v join when
@@ -731,21 +734,32 @@ def grouped_scan_search(
 ) -> DataFrame:
     """:func:`cached_scan_search` with the task unit raised from one
     shard to one PIECE GROUP (:func:`group_shards_by_routing`): each
-    task serves the mmap-cached union sub-graph of its group
-    (shard_cache.get_or_merge), so a query's ~6 home-cluster pieces
-    cost ONE beam search + ONE task dispatch instead of ~6 of each —
+    task serves every probed member piece of its group from the mmap
+    cache, so a query's ~6 home-cluster pieces cost ONE task dispatch
+    (plus one kernel call per probed piece) instead of ~6 dispatches —
     the per-probe-cost lever for the 5M serving bar (r9 verdict #2).
 
-    Probing happens at group granularity with the same auto rule; a
-    group's routing set is the union of its members'. ``routing`` (the
-    per-SHARD routing dict) is required when ``shard_probes`` is set —
-    the handle's memoized routing job provides it. Results follow the
-    same README.md:157 merge contract; the union search is the
-    per-cluster application of the same equivalence (one beam over
-    seeded disjoint sub-graphs vs per-piece beams) — recall at a given
-    beam is re-validated empirically in tests/benchmarks, since the
-    shared beam allocates budget across pieces instead of granting each
-    piece its own."""
+    r11: the original r10 design additionally UNIONED the group's
+    pieces into one block-diagonal sub-graph and ran a single shared
+    beam over it (shard_cache get_or_merge/merge_tuples). The first
+    gated at-scale measurement falsified that design's recall premise:
+    on the 5M/408 index, grouped union serving measured recall@10
+    0.2312 vs 0.9922 singleton at beam 512 (scale_runs_r11), and a
+    driver-side isolation pinned the cause to the shared beam over
+    disconnected near-identical blocks — NOT dispatch, quant, or the
+    mmap roundtrip (probing all 64 groups left recall unchanged at
+    0.2338; quant-off and reloaded-union runs were bit-identical; beam
+    3072 only reached 0.41). One beam over b sibling pieces needs ~b x
+    budget, which erases the kernel saving. The union path was
+    therefore cut; what remains is the dispatch amortization, with
+    results BIT-IDENTICAL to the singleton cached scan: the per-shard
+    probe map is computed exactly as in :func:`cached_scan_search`, and
+    each group task runs the same per-piece kernel calls the singleton
+    path would have run, just without ~6x task/scheduling/Arrow
+    overhead. ``routing`` (the per-SHARD routing dict) is required when
+    ``shard_probes`` is set — the handle's memoized routing job
+    provides it. Results follow the same README.md:157 merge
+    contract."""
     spark = queries.sparkSession
     metric = params.metric
     dtype = np.int64 if metric == "hamming" else np.float32
@@ -758,6 +772,9 @@ def grouped_scan_search(
             items, "grp INT, sids ARRAY<INT>"
         ).repartitionByRange(max(len(items), 1), "grp")
 
+    # the probe map is per SHARD — identical to cached_scan_search's —
+    # so each piece serves exactly the queries the singleton path would
+    # have routed to it (bit-identical results; r11, see docstring)
     probe_map: dict[int, np.ndarray] | None = None
     if shard_probes is not None and len(q_pd):
         if callable(routing):
@@ -767,48 +784,41 @@ def grouped_scan_search(
                 "grouped_scan_search with shard_probes needs the per-shard "
                 "routing dict (the index handle memoizes it)"
             )
-        grouting = {
-            g: np.concatenate(
-                [np.asarray(routing[s]) for s in sids if s in routing]
-            )
-            for g, sids in items
-        }
         probe_map = _probe_map_from_routing(
-            q_pd, grouting, metric, dtype, shard_probes
+            q_pd, routing, metric, dtype, shard_probes
         )
     bc = spark.sparkContext.broadcast((q_pd, probe_map))
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        import hashlib as _hashlib
         from time import perf_counter as _pc
 
         from rust_diskann_spark.operators import shard_cache
 
         _t0 = _pc()
-        gid = int(pdf["grp"].iloc[0])
         sids = [int(x) for x in pdf["sids"].iloc[0]]
         q_all, pmap = bc.value
-        q_sel = q_all
-        if pmap is not None:
-            sel = pmap.get(gid)
-            q_sel = q_all.iloc[sel if sel is not None else []]
-        if len(q_sel) == 0:
+        parts = []
+        for sid in sids:
+            q_sel = q_all
+            if pmap is not None:
+                sel = pmap.get(sid)
+                q_sel = q_all.iloc[sel if sel is not None else []]
+            if len(q_sel) == 0:
+                continue
+            tup = shard_cache.get_or_decode(
+                root, token, sid, index_path, metric
+            )
+            if tup is None or tup is shard_cache.EMPTY:
+                continue
+            parts.append(
+                _search_decoded(
+                    tup, q_sel, metric, dtype, k, beam_width, t0=_t0,
+                    source="group",
+                )
+            )
+        if not parts:
             return _empty_result_pdf()
-        # content-addressed union key: a regrouping (different tau /
-        # max_pieces) yields a different member list, hence a fresh
-        # cache entry rather than serving the old union
-        sig = _hashlib.sha1(
-            ",".join(map(str, sids)).encode()
-        ).hexdigest()[:8]
-        tup = shard_cache.get_or_merge(
-            root, token, f"g{gid}_{sig}", sids, index_path, metric
-        )
-        if tup is shard_cache.EMPTY:
-            return _empty_result_pdf()
-        return _search_decoded(
-            tup, q_sel, metric, dtype, k, beam_width, t0=_t0,
-            source="group",
-        )
+        return pd.concat(parts, ignore_index=True)
 
     candidates = skeleton.groupBy("grp").applyInPandas(
         run, schema=RESULT_SCHEMA

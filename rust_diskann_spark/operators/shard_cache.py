@@ -250,90 +250,6 @@ def get_or_decode(root: str, token: str, sid: int, index_path: str,
     return dec if reloaded is None or reloaded is EMPTY else reloaded
 
 
-def merge_tuples(members: list, metric: str):
-    """Union several decoded shard tuples into ONE searchable tuple —
-    the per-cluster mini-merge (r9 verdict #2a): the reference's
-    shard-and-merge equivalence (README.md:157) applied at cluster
-    granularity, exactly how the merged 1M index unions per-shard graphs
-    (operators/build.py merge_shard_graphs), but done at SERVE time over
-    already-built piece graphs. The union adjacency is block-diagonal
-    (pieces were built disjoint, so no cross-piece edges exist to merge)
-    and every piece's medoid + FPS entries become seeds, so one beam
-    search descends all pieces at once and the beam budget flows to
-    whichever piece actually holds the neighbors — replacing ~6
-    per-piece searches (the measured probe multiplicity of a cap-split
-    home cluster) with one.
-
-    Local ids relabel by block offset; PAD (-1) adjacency slots stay
-    PAD. sqnorms concatenate (order-preserving); the int8 traversal
-    view is REBUILT over the union because quantization scale is
-    per-tuple (concatenating codes with different scales would order
-    candidates wrongly across blocks)."""
-    members = [m for m in members if m is not None and m is not EMPTY]
-    if not members:
-        return None
-    if len(members) == 1:
-        return members[0]
-    offs = np.cumsum([0] + [len(m[0]) for m in members[:-1]])
-    gids = np.concatenate([np.asarray(m[0]) for m in members])
-    mat = np.ascontiguousarray(np.vstack([np.asarray(m[1]) for m in members]))
-    width = max(int(m[2].adj.shape[1]) for m in members)
-    adj = np.full((len(gids), width), vamana.PAD, dtype=np.int32)
-    for m, off in zip(members, offs):
-        block = np.asarray(m[2].adj)
-        adj[off : off + len(block), : block.shape[1]] = np.where(
-            block == vamana.PAD, vamana.PAD, block + off
-        )
-    deg = np.concatenate([np.asarray(m[2].deg) for m in members])
-    medoid_local = int(members[0][3])  # block 0 has offset 0
-    seeds: list[int] = []
-    for m, off in zip(members, offs):
-        seeds.append(int(m[3]) + int(off))
-        if m[5] is not None:
-            seeds.extend(int(e) + int(off) for e in np.asarray(m[5]))
-    ent = np.array(sorted(set(seeds)), dtype=np.int64)
-    sqn = None
-    if all(m[4] is not None for m in members):
-        sqn = np.concatenate([np.asarray(m[4]) for m in members])
-    elif metric in ("l2", "cosine"):
-        sqn = vamana.sq_norms(mat)
-    from rust_diskann_spark.operators.search import _maybe_quant
-
-    return (
-        gids, mat, vamana.Graph(adj, deg), medoid_local, sqn, ent,
-        _maybe_quant(metric, mat),
-    )
-
-
-def get_or_merge(root: str, token: str, key: str, sids, index_path: str,
-                 metric: str):
-    """Cache hit -> mmap union tuple for a piece group; miss -> assemble
-    from the members' cache entries (each self-healing from parquet via
-    :func:`get_or_decode`) + populate, then reload mmap — same
-    discipline as :func:`get_or_decode` (serve the mmap, never pin a
-    per-worker in-memory copy unless the save failed).
-
-    ``key`` is the group's cache identity (e.g. ``g12_<sig>`` where sig
-    hashes the sorted member list): the union entry rides the same
-    token directory as the per-shard entries, so ``close()`` and
-    cache_sweep reclaim it with the index, and a regrouping (different
-    tau) gets a different key instead of serving the old union."""
-    tup = load_shard(root, token, key)
-    if tup is not None:
-        return tup
-    union = merge_tuples(
-        [get_or_decode(root, token, int(s), index_path, metric)
-         for s in sids],
-        metric,
-    )
-    record_source(root, token, index_path)
-    save_shard(root, token, key, union)
-    if union is None:
-        return EMPTY
-    reloaded = load_shard(root, token, key)
-    return union if reloaded is None or reloaded is EMPTY else reloaded
-
-
 def record_source(root: str, token: str, index_path: str) -> None:
     """Drop a ``source.json`` provenance sidecar into the token dir.
 

@@ -419,11 +419,12 @@ class DiskANNIndex:
             try:
                 if self._use_scan_cache():
                     if group_pieces:
-                        # task unit = one piece GROUP served from its
-                        # mmap-cached union sub-graph: a query's ~6
-                        # home-cluster cap-split pieces cost one beam
-                        # search + one dispatch instead of ~6 of each
-                        # (operators/search.py grouped_scan_search)
+                        # task unit = one piece GROUP: a query's ~6
+                        # home-cluster cap-split pieces cost one task
+                        # dispatch instead of ~6; kernel calls stay
+                        # per-piece, results bit-identical to the
+                        # singleton cached scan (r11 — see
+                        # operators/search.py grouped_scan_search)
                         return search_ops.grouped_scan_search(
                             queries, self._get_groups(), self.path,
                             self._get_cache_token(),
@@ -524,10 +525,10 @@ class DiskANNIndex:
           side — the ONE corpus shuffle that every later batch reuses.
         - cogroup: persist the raw tables; the per-batch cogroup
           exchange re-reads them every batch.
-        - grouped: scan warm PLUS one distributed pass that materializes
-          every piece-group union in the mmap cache
-          (shard_cache.get_or_merge), so a ``group_pieces=True`` serving
-          loop's first batch doesn't pay the per-node merge.
+        - grouped: routing pass PLUS one scan-all dummy batch through
+          the group tasks, so every member piece's mmap cache entry is
+          materialized and a ``group_pieces=True`` serving loop's first
+          batch doesn't pay the per-node parquet decode.
         """
         if mode not in ("auto", "broadcast", "scan", "cogroup", "grouped"):
             # same whitelist as search_with_dists: a typo ("broadcst")
@@ -545,7 +546,7 @@ class DiskANNIndex:
                 )
             # routing pass populates every per-shard cache entry; the
             # scan-all k=1/beam=1 dummy search then touches every group
-            # task exactly once, assembling its union into the cache
+            # task once, decoding any members the routing pass missed
             self._get_scan_routing()
             m = self.meta
             elem_sql = "bigint" if m.elem_type == "long" else "float"

@@ -39,10 +39,11 @@ PROBES = PROBES if PROBES == "auto" else int(PROBES)
 # "broadcast" (query tasks, local finalize; over-budget file-backed
 # indexes ride the mmap shard map, so this is now legal at 5M)
 MODE = os.environ.get("RDS_PROBE_MODE", "scan")
-# RDS_GROUP_PIECES=1 (scan mode): serve co-probed cap-split pieces from
-# per-cluster merged sub-graphs (search_with_dists(group_pieces=True)) —
-# the r9 verdict #2 per-probe-cost lever. The first (untimed) warm
-# search pays the union-cache materialization.
+# RDS_GROUP_PIECES=1 (scan mode): serve co-probed cap-split pieces one
+# TASK per group (search_with_dists(group_pieces=True)) — the r9
+# verdict #2 per-probe-cost lever, r11 shape: per-piece kernels under
+# grouped dispatch (bit-identical to singleton; the r10 union-search
+# variant was cut after its gated recall collapse).
 GROUP_PIECES = os.environ.get("RDS_GROUP_PIECES") == "1"
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 WINDOWS = int(os.environ.get("RDS_STEADY_WINDOWS", "2"))

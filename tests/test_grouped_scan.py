@@ -1,15 +1,23 @@
-"""Piece-group serving (r9 verdict #2a): co-probed cap-split pieces are
-unioned into one mmap-cached sub-graph and served by a single beam
-search (operators/search.py grouped_scan_search +
-operators/shard_cache.py merge_tuples/get_or_merge). Contract:
+"""Piece-group serving (r9 verdict #2a, r11 shape): co-probed cap-split
+pieces are served ONE TASK per group (operators/search.py
+grouped_scan_search), with per-piece kernel calls and the singleton
+per-shard probe map — so grouped results are BIT-IDENTICAL to the
+per-shard cached scan and the grouping only amortizes task dispatch.
 
-- singleton groups are BIT-IDENTICAL to the per-shard cached scan (the
-  grouped path is pure plumbing in that limit);
+The r10 union-sub-graph variant (one shared beam over a block-diagonal
+merge of the group's pieces) was CUT in r11 after its first gated
+at-scale measurement: recall@10 0.2312 vs 0.9922 singleton on the
+5M/408 index at beam 512, cause isolated to the shared beam over
+disconnected sibling blocks (scale_runs_r11, OPTIMIZATION_r11.md).
+
+Contract:
+
+- grouped results (singleton AND multi-piece groups, probed or
+  scan-all) are bit-identical to the per-shard cached scan;
 - the routing-derived grouping separates well-separated clusters and
   respects the max_pieces chunk cap;
-- grouped auto-probed search preserves recall vs the exact oracle on a
-  clustered corpus (the serving regime the grouping targets);
-- the union is one cache entry, reused across batches, dropped by
+- grouped serving populates the same per-shard mmap entries as the
+  singleton path (no union entries), reused across batches, dropped by
   close() with the token tree."""
 
 import os
@@ -19,10 +27,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from rust_diskann_spark import IndexParams, build_index, open_index
-from rust_diskann_spark.core import vamana
 from rust_diskann_spark.operators import search as search_ops
 from rust_diskann_spark.operators import shard_cache
-from rust_diskann_spark.operators.exact import exact_knn
 
 
 def _clustered_corpus(spark, n=600, dim=8, clusters=3, spread=0.05, seed=7):
@@ -86,45 +92,6 @@ def test_group_shards_by_routing_separates_clusters():
     assert sorted(map(list, singles.values())) == [[s] for s in range(6)]
 
 
-def test_merge_tuples_singleton_is_identity():
-    gids = np.arange(5, dtype=np.int64)
-    mat = np.eye(5, 4, dtype=np.float32)
-    g = vamana.Graph(
-        np.full((5, 2), vamana.PAD, dtype=np.int32), np.zeros(5, np.int32)
-    )
-    tup = (gids, mat, g, 0, None, None, None)
-    assert shard_cache.merge_tuples([tup], "l2") is tup
-    assert shard_cache.merge_tuples([None, shard_cache.EMPTY], "l2") is None
-
-
-def test_merge_tuples_union_relabels_and_seeds():
-    def mk(gid0, n, medoid, width):
-        gids = np.arange(gid0, gid0 + n, dtype=np.int64)
-        mat = np.arange(n * 2, dtype=np.float32).reshape(n, 2) + gid0
-        adj = np.full((n, width), vamana.PAD, dtype=np.int32)
-        deg = np.zeros(n, np.int32)
-        for i in range(n):  # ring graph, local ids
-            adj[i, 0] = (i + 1) % n
-            deg[i] = 1
-        ent = np.array([n - 1], dtype=np.int64)
-        sqn = vamana.sq_norms(mat)
-        return (gids, mat, vamana.Graph(adj, deg), medoid, sqn, ent, None)
-
-    a, b = mk(0, 3, 0, 2), mk(100, 4, 1, 3)
-    gids, mat, g, medoid, sqn, ent, quant = shard_cache.merge_tuples(
-        [a, b], "l2"
-    )
-    assert gids.tolist() == [0, 1, 2, 100, 101, 102, 103]
-    assert mat.shape == (7, 2) and g.adj.shape == (7, 3)
-    # block 2's local ids are offset by 3; PAD slots stay PAD
-    assert g.adj[3, 0] == 4 and g.adj[6, 0] == 3
-    assert g.adj[0, 1] == vamana.PAD
-    assert medoid == 0  # block 0's medoid, offset 0
-    # seeds: both medoids + both FPS entries, relabeled
-    assert ent.tolist() == sorted({0, 2, 1 + 3, 3 + 3})
-    np.testing.assert_allclose(sqn, vamana.sq_norms(mat))
-
-
 def test_grouped_singleton_groups_bitwise_match_cached_scan(
     spark, kmeans_idx
 ):
@@ -140,40 +107,51 @@ def test_grouped_singleton_groups_bitwise_match_cached_scan(
     assert _rows(grouped) == _rows(base)
 
 
-def test_grouped_auto_probe_recall_and_cache_entry(spark, kmeans_idx):
+def test_grouped_multi_piece_groups_bitwise_match_cached_scan(
+    spark, kmeans_idx
+):
+    """The r11 core guarantee: multi-piece groups change only the task
+    unit, never the results — scan-all AND auto-probed."""
     idx, corpus = kmeans_idx
     q = _queries(corpus)
-    res = idx.search_with_dists(
+    for probes in (None, "auto"):
+        base = idx.search_with_dists(
+            q, k=5, beam_width=32, mode="scan", shard_probes=probes,
+        )
+        grouped = idx.search_with_dists(
+            q, k=5, beam_width=32, mode="scan", shard_probes=probes,
+            group_pieces=True,
+        )
+        assert _rows(grouped) == _rows(base), f"probes={probes}"
+
+
+def test_grouped_populates_per_shard_entries_only(spark, kmeans_idx):
+    idx, corpus = kmeans_idx
+    q = _queries(corpus)
+    idx.search_with_dists(
         q, k=5, beam_width=32, mode="scan", shard_probes="auto",
         group_pieces=True,
-    )
-    got = res.select("query_id", "id")
-    gt = exact_knn(
-        q, corpus.select("id", "vec"), 5, "l2"
-    ).select("query_id", "id")
-    n_q = q.count()
-    recall = got.join(gt, ["query_id", "id"]).count() / float(n_q * 5)
-    assert recall >= 0.9, f"grouped probed recall {recall}"
-    # union entries live under the index token; at least one group got
-    # merged and cached (groups are derived, so count is data-dependent)
+    ).count()
     token_dir = os.path.join(
         shard_cache.cache_root(), idx._get_cache_token()
     )
-    group_dirs = [
-        d for d in os.listdir(token_dir) if d.startswith("shard_g")
-    ]
-    assert group_dirs, "no union cache entries were materialized"
+    entries = sorted(
+        d for d in os.listdir(token_dir) if d.startswith("shard_")
+    )
+    assert entries, "no per-shard cache entries were materialized"
+    # r11: the union ('shard_g*') entries are gone with the union path
+    assert not [d for d in entries if d.startswith("shard_g")]
     # grouping is non-trivial on clustered data: fewer groups than shards
     assert len(idx._get_groups()) < idx.meta.num_shards
-    # second batch reuses the entries (no new group dirs)
+    # second batch reuses the entries (no new dirs)
     idx.search_with_dists(
         q, k=5, beam_width=32, mode="scan", shard_probes="auto",
         group_pieces=True,
     ).count()
     assert sorted(
-        d for d in os.listdir(token_dir) if d.startswith("shard_g")
-    ) == sorted(group_dirs)
-    # close() drops the whole token tree, unions included
+        d for d in os.listdir(token_dir) if d.startswith("shard_")
+    ) == entries
+    # close() drops the whole token tree
     idx.close()
     assert not os.path.exists(token_dir)
 
@@ -191,16 +169,19 @@ def test_group_pieces_guards(spark, kmeans_idx):
         )
 
 
-def test_warm_grouped_materializes_unions(spark, kmeans_idx):
+def test_warm_grouped_materializes_member_pieces(spark, kmeans_idx):
     idx, corpus = kmeans_idx
     idx.warm("grouped")
     token_dir = os.path.join(
         shard_cache.cache_root(), idx._get_cache_token()
     )
-    group_dirs = {
-        d for d in os.listdir(token_dir) if d.startswith("shard_g")
+    entries = {
+        d for d in os.listdir(token_dir) if d.startswith("shard_")
     }
-    assert len(group_dirs) == len(idx._get_groups())
+    members = {
+        s for sids in idx._get_groups().values() for s in sids
+    }
+    assert {f"shard_{s}" for s in members} <= entries
     # a subsequent grouped search reuses them (no new entries)
     q = _queries(corpus)
     idx.search_with_dists(
@@ -208,8 +189,8 @@ def test_warm_grouped_materializes_unions(spark, kmeans_idx):
         group_pieces=True,
     ).count()
     assert {
-        d for d in os.listdir(token_dir) if d.startswith("shard_g")
-    } == group_dirs
+        d for d in os.listdir(token_dir) if d.startswith("shard_")
+    } == entries
 
 
 def test_warm_rejects_unknown_mode(spark, kmeans_idx):
