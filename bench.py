@@ -433,7 +433,7 @@ def main() -> None:
     t0 = time.time()
     trail: list[dict] = []
     best: dict | None = None
-    best_key = (-1, float("inf"))
+    best_key = (-1, -1, float("inf"))
 
     for attempt in range(1, attempts_max + 1):
         # bounded pre-wait for a two-axis quiet window
@@ -492,7 +492,16 @@ def main() -> None:
             "bandwidth_ratio_pre": result.get("bandwidth_ratio_pre"),
             "bandwidth_ratio_post": result.get("bandwidth_ratio_post"),
         })
-        key = (n_valid, -(result.get("value") or float("inf")))
+        # whole-run validity leads the key: a calibration_valid attempt
+        # must WIN the selection, not merely stop the loop (r11 fix — a
+        # valid attempt 2 lost to a faster invalid attempt 1 under the
+        # old (n_valid, -value) key, emitting the invalid run as the
+        # artifact of record)
+        key = (
+            1 if result.get("calibration_valid") else 0,
+            n_valid,
+            -(result.get("value") or float("inf")),
+        )
         if best is None or key > best_key:
             best, best_key = result, key
         if result.get("calibration_valid"):
